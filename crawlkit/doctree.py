@@ -1,0 +1,660 @@
+"""ProseMirror/tiptap-style document tree: build, amend, render, text.
+
+Re-expresses the reference's rich-text pipeline (SURVEY.md §2.9):
+
+* X6  HTML → node tree            (reference ``src/html.ts:5-13``,
+                                   ``src/tiptap.ts:190-194``)
+* X7  node amendment              (``src/tiptap.ts:115-188``)
+* X8  node tree → canonical HTML  (``src/html.ts:15-31``)
+* X10 findTitle by heading level  (``src/tiptap.ts:200-220``)
+* plus the pinned plain-text projection used for the byte-identical
+  ``text`` parity contract (BASELINE.json ``input_hint``).
+
+Nodes are plain dicts: ``{"type": str, "attrs"?: dict, "text"?: str,
+"marks"?: [ {...} ], "content"?: [node...]}`` — the same JSON shape the
+reference stores as CBOR (``src/db/model.ts:69-71``).
+
+Determinism: the reference assigns random ``nanoid(6)`` ids
+(``src/tiptap.ts:94-98,122-132``) — a determinism hazard at cluster
+scale.  We derive ids from a per-document seed + counter instead, with
+the same collision-regeneration loop, so output bytes are stable under
+any partitioning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from .htmlkit import HElement, HNode, HText, parse_html
+
+# Block types that carry a unique ``id`` attr (reference
+# ``src/tiptap.ts:34-45`` ``uidTypes``).
+UID_TYPES = frozenset(
+    (
+        "blockquote",
+        "codeBlock",
+        "detailsSummary",
+        "detailsContent",
+        "heading",
+        "listItem",
+        "paragraph",
+        "tableHeader",
+        "tableCell",
+        "taskItem",
+    )
+)
+
+# nanoid's default url-safe alphabet (public: ai/nanoid) — we keep the
+# alphabet/length so ids are shaped like the reference's, but derive
+# them deterministically.
+_ID_ALPHABET = "useandom-26T198340PX75pxJACKVERYMINDBUSHWOLF_GQZbfghjklqvwyzrict"
+_ID_LEN = 6
+
+_WS_RE = re.compile(r"[ \t\r\n\f]+")
+
+_INLINE_MARKS = {
+    "b": "bold",
+    "strong": "bold",
+    "i": "italic",
+    "em": "italic",
+    "u": "underline",
+    "s": "strike",
+    "del": "strike",
+    "strike": "strike",
+    "code": "code",
+    "sub": "subscript",
+    "sup": "superscript",
+}
+
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+# Containers that are transparent at block level (children hoisted).
+_TRANSPARENT = frozenset(
+    (
+        "div",
+        "section",
+        "article",
+        "main",
+        "header",
+        "footer",
+        "aside",
+        "nav",
+        "figure",
+        "figcaption",
+        "dl",
+        "dt",
+        "dd",
+        "form",
+        "fieldset",
+        "center",
+        "body",
+        "html",
+        "#root",
+        "address",
+        "hgroup",
+        "noscript",
+    )
+)
+
+_SKIP = frozenset(("script", "style", "head", "title", "meta", "link", "template"))
+
+
+class DeterministicIds:
+    """Deterministic replacement for ``nanoid(6)`` (SURVEY.md F16)."""
+
+    def __init__(self, seed: str) -> None:
+        self.seed = seed
+        self.counter = 0
+        self.ids: set[str] = set()
+
+    def _gen(self) -> str:
+        digest = hashlib.blake2b(
+            f"{self.seed}\x00{self.counter}".encode("utf-8"), digest_size=8
+        ).digest()
+        n = int.from_bytes(digest, "big")
+        chars = []
+        for _ in range(_ID_LEN):
+            chars.append(_ID_ALPHABET[n & 63])
+            n >>= 6
+        self.counter += 1
+        return "".join(chars)
+
+    def amend_id(self, current: object) -> str:
+        """Reference ``amendId`` semantics (``src/tiptap.ts:122-132``):
+        keep a provided non-empty unique id, regenerate on collision."""
+        nid = current if isinstance(current, str) and current != "" else self._gen()
+        while nid in self.ids:
+            nid = self._gen()
+        self.ids.add(nid)
+        return nid
+
+
+# ---------------------------------------------------------------------------
+# X6: HTML → node tree
+# ---------------------------------------------------------------------------
+
+
+def _collapse_ws(text: str) -> str:
+    return _WS_RE.sub(" ", text)
+
+
+class _DocBuilder:
+    def __init__(self) -> None:
+        pass
+
+    def build(self, root: HElement) -> dict:
+        return {"type": "doc", "content": self._blocks(root)}
+
+    # -- block flow -----------------------------------------------------
+    def _blocks(self, container: HElement) -> list[dict]:
+        blocks: list[dict] = []
+        inline_buf: list[dict] = []
+
+        def flush() -> None:
+            para = _make_paragraph(inline_buf)
+            if para is not None:
+                blocks.append(para)
+            inline_buf.clear()
+
+        for child in container.children:
+            if isinstance(child, HText):
+                self._inline_text(child.data, [], inline_buf)
+                continue
+            tag = child.tag
+            if tag in _SKIP:
+                continue
+            if tag in _INLINE_MARKS or tag in ("a", "span", "em", "time", "abbr"):
+                self._inline(child, [], inline_buf)
+            elif tag == "br":
+                inline_buf.append({"type": "hardBreak"})
+            elif tag == "img":
+                flush()
+                blocks.append(_image_node(child))
+            else:
+                flush()
+                blocks.extend(self._block(child))
+        flush()
+        return blocks
+
+    def _block(self, el: HElement) -> list[dict]:
+        tag = el.tag
+        if tag in _HEADINGS:
+            return [
+                {
+                    "type": "heading",
+                    "attrs": {"id": None, "level": _HEADINGS[tag]},
+                    "content": self._inline_children(el),
+                }
+            ]
+        if tag == "p":
+            node = _make_paragraph(self._inline_children(el))
+            return [node] if node is not None else [
+                {"type": "paragraph", "content": []}
+            ]
+        if tag == "pre":
+            return [
+                {
+                    "type": "codeBlock",
+                    "attrs": {"language": None},
+                    "content": _code_text_content(el),
+                }
+            ]
+        if tag == "blockquote":
+            return [{"type": "blockquote", "content": self._blocks(el)}]
+        if tag in ("ul", "ol"):
+            items = [
+                {"type": "listItem", "content": self._blocks(li)}
+                for li in el.children
+                if isinstance(li, HElement) and li.tag == "li"
+            ]
+            ntype = "bulletList" if tag == "ul" else "orderedList"
+            node: dict = {"type": ntype, "content": items}
+            if tag == "ol":
+                node["attrs"] = {"start": _int_attr(el, "start", 1)}
+            return [node]
+        if tag == "table":
+            return [self._table(el)]
+        if tag == "hr":
+            return [{"type": "horizontalRule"}]
+        if tag == "details":
+            return [self._details(el)]
+        if tag in _TRANSPARENT or True:
+            # Unknown elements behave as transparent containers too.
+            return self._blocks(el)
+
+    def _details(self, el: HElement) -> dict:
+        summary_inline: list[dict] = []
+        rest = HElement("#rest")
+        for child in el.children:
+            if isinstance(child, HElement) and child.tag == "summary":
+                summary_inline = self._inline_children(child)
+            else:
+                rest.append(child)
+        return {
+            "type": "details",
+            "content": [
+                {"type": "detailsSummary", "content": summary_inline},
+                {"type": "detailsContent", "content": self._blocks(rest)},
+            ],
+        }
+
+    def _table(self, el: HElement) -> dict:
+        rows: list[dict] = []
+
+        def walk_rows(container: HElement) -> None:
+            for child in container.children:
+                if not isinstance(child, HElement):
+                    continue
+                if child.tag == "tr":
+                    rows.append(self._table_row(child))
+                elif child.tag in ("thead", "tbody", "tfoot"):
+                    walk_rows(child)
+
+        walk_rows(el)
+        return {"type": "table", "content": rows}
+
+    def _table_row(self, tr: HElement) -> dict:
+        cells = []
+        for cell in tr.children:
+            if not isinstance(cell, HElement) or cell.tag not in ("td", "th"):
+                continue
+            ctype = "tableHeader" if cell.tag == "th" else "tableCell"
+            content = self._blocks(cell)
+            if not content:
+                content = [{"type": "paragraph", "content": []}]
+            cells.append(
+                {
+                    "type": ctype,
+                    "attrs": {
+                        "colspan": _int_attr(cell, "colspan", 1),
+                        "rowspan": _int_attr(cell, "rowspan", 1),
+                        "colwidth": None,
+                    },
+                    "content": content,
+                }
+            )
+        return {"type": "tableRow", "content": cells}
+
+    # -- inline flow ------------------------------------------------------
+    def _inline_children(self, el: HElement) -> list[dict]:
+        buf: list[dict] = []
+        for child in el.children:
+            if isinstance(child, HText):
+                self._inline_text(child.data, [], buf)
+            else:
+                self._inline(child, [], buf)
+        return _trim_inline(buf)
+
+    def _inline(self, el: HElement, marks: list[dict], buf: list[dict]) -> None:
+        tag = el.tag
+        if tag in _SKIP:
+            return
+        if tag == "br":
+            buf.append({"type": "hardBreak"})
+            return
+        if tag == "img":
+            buf.append(_image_node(el))
+            return
+        new_marks = marks
+        if tag == "a":
+            href = el.attrs.get("href", "")
+            new_marks = marks + [
+                {"type": "link", "attrs": {"href": href, "class": el.attrs.get("class")}}
+            ]
+        elif tag in _INLINE_MARKS:
+            mark = {"type": _INLINE_MARKS[tag]}
+            if not any(m["type"] == mark["type"] for m in marks):
+                new_marks = marks + [mark]
+        for child in el.children:
+            if isinstance(child, HText):
+                self._inline_text(child.data, new_marks, buf)
+            else:
+                self._inline(child, new_marks, buf)
+
+    def _inline_text(self, data: str, marks: list[dict], buf: list[dict]) -> None:
+        text = _collapse_ws(data)
+        if text == "":
+            return
+        if text == " " and not buf:
+            return  # leading whitespace at block start
+        node: dict = {"type": "text", "text": text}
+        if marks:
+            node["marks"] = [dict(m, attrs=dict(m["attrs"])) if "attrs" in m else dict(m) for m in marks]
+        # merge with previous text node when marks match
+        if buf and buf[-1].get("type") == "text" and buf[-1].get("marks") == node.get("marks"):
+            buf[-1]["text"] += node["text"]
+        else:
+            buf.append(node)
+
+
+def _make_paragraph(inline: list[dict]) -> dict | None:
+    content = _trim_inline(list(inline))
+    if not content:
+        return None
+    return {"type": "paragraph", "content": content}
+
+
+def _trim_inline(buf: list[dict]) -> list[dict]:
+    """Strip leading/trailing whitespace at block boundaries and drop
+    whitespace-only runs (ProseMirror default whitespace handling)."""
+    out = [dict(n) for n in buf]
+    while out and out[0].get("type") == "text" and out[0]["text"].strip() == "":
+        out.pop(0)
+    while out and out[-1].get("type") == "text" and out[-1]["text"].strip() == "":
+        out.pop()
+    if out and out[0].get("type") == "text":
+        out[0]["text"] = out[0]["text"].lstrip()
+    if out and out[-1].get("type") == "text":
+        out[-1]["text"] = out[-1]["text"].rstrip()
+    return [n for n in out if not (n.get("type") == "text" and n["text"] == "")]
+
+
+def _code_text_content(pre: HElement) -> list[dict]:
+    from .htmlkit import element_text
+
+    text = element_text(pre)
+    if text.startswith("\n"):
+        text = text[1:]
+    if text.endswith("\n"):
+        text = text[:-1]
+    return [{"type": "text", "text": text}] if text else []
+
+
+def _image_node(el: HElement) -> dict:
+    return {
+        "type": "image",
+        "attrs": {
+            "src": el.attrs.get("src") or None,
+            "alt": el.attrs.get("alt") or None,
+            "title": el.attrs.get("title") or None,
+        },
+    }
+
+
+def _int_attr(el: HElement, name: str, default: int) -> int:
+    try:
+        return int(el.attrs.get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
+def html_to_doc(html: str) -> dict:
+    """X6: parse HTML into an (un-amended) tiptap-style doc node."""
+    return _DocBuilder().build(parse_html(html))
+
+
+# ---------------------------------------------------------------------------
+# X7: amendment (reference JSONDocumentAmender, src/tiptap.ts:115-188)
+# ---------------------------------------------------------------------------
+
+
+def amend_node(node: dict | None, ids: DeterministicIds) -> dict | None:
+    """Reproduces ``JSONDocumentAmender.amendNode`` semantics:
+
+    * drop ``invalid`` nodes;
+    * ``image`` without ``attrs.src`` → invalid;
+    * empty / hardBreak-only ``paragraph`` → invalid;
+    * assign/dedupe 6-char ids on UID_TYPES (attrs cloned);
+    * rewrite link marks: drop ``class``, force
+      ``rel='noopener noreferrer'``, ``target='_blank'``;
+    * recurse into content and filter invalid children.
+    """
+    if not node or node.get("type") == "invalid":
+        return None
+
+    ntype = node.get("type")
+    if ntype == "image" and not (node.get("attrs") or {}).get("src"):
+        node["type"] = "invalid"
+        return node
+
+    if ntype == "paragraph":
+        content = node.get("content")
+        if not content or (len(content) == 1 and content[0].get("type") == "hardBreak"):
+            node["type"] = "invalid"
+            return node
+
+    if ntype in UID_TYPES and node.get("attrs") is None:
+        node["attrs"] = {"id": ids.amend_id("")}
+    elif node.get("attrs") is not None:
+        node["attrs"] = dict(node["attrs"])
+        if ntype in UID_TYPES:
+            node["attrs"]["id"] = ids.amend_id(node["attrs"].get("id"))
+
+    marks = node.get("marks")
+    if marks is not None:
+        for mark in marks:
+            if mark.get("type") == "link" and mark.get("attrs") is not None:
+                mark["attrs"].pop("class", None)
+                mark["attrs"]["rel"] = "noopener noreferrer"
+                mark["attrs"]["target"] = "_blank"
+
+    content = node.get("content")
+    if content is not None:
+        for child in content:
+            amend_node(child, ids)
+        node["content"] = [c for c in content if c.get("type") != "invalid"]
+
+    return node
+
+
+def parse_html_to_doc(html: str, seed: str = "") -> dict:
+    """X6+X7 combined (reference ``parseHTML``, src/tiptap.ts:190-194)."""
+    doc = html_to_doc(html)
+    amend_node(doc, DeterministicIds(seed))
+    return doc
+
+
+# ---------------------------------------------------------------------------
+# X8: node tree → canonical HTML (reference toHTML, src/html.ts:15-31)
+# ---------------------------------------------------------------------------
+
+_MARK_TAGS = {
+    "bold": "strong",
+    "italic": "em",
+    "underline": "u",
+    "strike": "s",
+    "code": "code",
+    "subscript": "sub",
+    "superscript": "sup",
+}
+
+
+def _esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _esc_attr(s: str) -> str:
+    return _esc(s).replace('"', "&quot;")
+
+
+def _render_inline(node: dict, out: list[str]) -> None:
+    if node.get("type") == "hardBreak":
+        out.append("<br>")
+        return
+    if node.get("type") == "image":
+        _render_image(node, out)
+        return
+    text = _esc(node.get("text", ""))
+    for mark in reversed(node.get("marks") or []):
+        mtype = mark.get("type")
+        if mtype == "link":
+            attrs = mark.get("attrs") or {}
+            a = f'<a href="{_esc_attr(attrs.get("href") or "")}"'
+            if attrs.get("target"):
+                a += f' target="{_esc_attr(attrs["target"])}"'
+            if attrs.get("rel"):
+                a += f' rel="{_esc_attr(attrs["rel"])}"'
+            text = a + ">" + text + "</a>"
+        elif mtype in _MARK_TAGS:
+            tag = _MARK_TAGS[mtype]
+            text = f"<{tag}>{text}</{tag}>"
+    out.append(text)
+
+
+def _render_image(node: dict, out: list[str]) -> None:
+    attrs = node.get("attrs") or {}
+    s = f'<img src="{_esc_attr(attrs.get("src") or "")}"'
+    if attrs.get("alt"):
+        s += f' alt="{_esc_attr(attrs["alt"])}"'
+    if attrs.get("title"):
+        s += f' title="{_esc_attr(attrs["title"])}"'
+    out.append(s + ">")
+
+
+def _id_attr(node: dict) -> str:
+    nid = (node.get("attrs") or {}).get("id")
+    return f' id="{_esc_attr(nid)}"' if nid else ""
+
+
+def _render_node(node: dict, out: list[str]) -> None:
+    ntype = node.get("type")
+    content = node.get("content") or []
+
+    def children() -> None:
+        for child in content:
+            _render_node(child, out)
+
+    def inline_children() -> None:
+        for child in content:
+            _render_inline(child, out)
+
+    if ntype == "doc":
+        children()
+    elif ntype == "paragraph":
+        out.append(f"<p{_id_attr(node)}>")
+        inline_children()
+        out.append("</p>")
+    elif ntype == "heading":
+        level = (node.get("attrs") or {}).get("level", 1)
+        out.append(f"<h{level}{_id_attr(node)}>")
+        inline_children()
+        out.append(f"</h{level}>")
+    elif ntype == "codeBlock":
+        out.append(f"<pre{_id_attr(node)}><code>")
+        for child in content:
+            out.append(_esc(child.get("text", "")))
+        out.append("</code></pre>")
+    elif ntype == "blockquote":
+        out.append(f"<blockquote{_id_attr(node)}>")
+        children()
+        out.append("</blockquote>")
+    elif ntype == "bulletList":
+        out.append("<ul>")
+        children()
+        out.append("</ul>")
+    elif ntype == "orderedList":
+        start = (node.get("attrs") or {}).get("start", 1)
+        out.append(f'<ol start="{start}">' if start != 1 else "<ol>")
+        children()
+        out.append("</ol>")
+    elif ntype == "listItem":
+        out.append(f"<li{_id_attr(node)}>")
+        children()
+        out.append("</li>")
+    elif ntype == "table":
+        out.append("<table><tbody>")
+        children()
+        out.append("</tbody></table>")
+    elif ntype == "tableRow":
+        out.append("<tr>")
+        children()
+        out.append("</tr>")
+    elif ntype in ("tableCell", "tableHeader"):
+        tag = "th" if ntype == "tableHeader" else "td"
+        attrs = node.get("attrs") or {}
+        extra = ""
+        if attrs.get("colspan", 1) != 1:
+            extra += f' colspan="{attrs["colspan"]}"'
+        if attrs.get("rowspan", 1) != 1:
+            extra += f' rowspan="{attrs["rowspan"]}"'
+        out.append(f"<{tag}{_id_attr(node)}{extra}>")
+        children()
+        out.append(f"</{tag}>")
+    elif ntype == "horizontalRule":
+        out.append("<hr>")
+    elif ntype == "details":
+        out.append("<details>")
+        children()
+        out.append("</details>")
+    elif ntype == "detailsSummary":
+        out.append(f"<summary{_id_attr(node)}>")
+        inline_children()
+        out.append("</summary>")
+    elif ntype == "detailsContent":
+        out.append(f"<div{_id_attr(node)} data-type="
+                   '"detailsContent">')
+        children()
+        out.append("</div>")
+    elif ntype == "image":
+        _render_image(node, out)
+    elif ntype in ("text", "hardBreak"):
+        _render_inline(node, out)
+    else:  # unknown node types render their children transparently
+        children()
+
+
+def doc_to_html(doc: dict) -> str:
+    """X8: canonical HTML rendering of an (amended) doc tree."""
+    out: list[str] = []
+    _render_node(doc, out)
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# X10: findTitle (reference src/tiptap.ts:200-220)
+# ---------------------------------------------------------------------------
+
+
+def find_title(doc: dict, level: int) -> str:
+    """DFS for the first heading at ``level``; its text children joined
+    with ``' '`` (exact reference semantics)."""
+    if doc.get("type") == "heading":
+        if (doc.get("attrs") or {}).get("level") == level and doc.get("content"):
+            return " ".join(
+                child.get("text", "")
+                for child in doc["content"]
+                if child.get("type") == "text"
+            )
+        return ""
+    for child in doc.get("content") or []:
+        title = find_title(child, level)
+        if title != "":
+            return title
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# Pinned plain-text projection (the byte-parity target column)
+# ---------------------------------------------------------------------------
+
+_TEXTBLOCK_TYPES = frozenset(
+    ("paragraph", "heading", "codeBlock", "detailsSummary")
+)
+
+
+def doc_to_text(doc: dict) -> str:
+    """Pinned plain-text rendering: one line per textblock node in
+    pre-order, inline text concatenated (hardBreak → ``'\\n'``), lines
+    joined with ``'\\n'``.  This is THE byte-parity contract column."""
+    lines: list[str] = []
+
+    def walk(node: dict) -> None:
+        ntype = node.get("type")
+        if ntype in _TEXTBLOCK_TYPES:
+            parts: list[str] = []
+            for child in node.get("content") or []:
+                ctype = child.get("type")
+                if ctype == "text":
+                    parts.append(child.get("text", ""))
+                elif ctype == "hardBreak":
+                    parts.append("\n")
+            line = "".join(parts)
+            if line.strip() != "":
+                lines.append(line)
+            return
+        for child in node.get("content") or []:
+            walk(child)
+
+    walk(doc)
+    return "\n".join(lines)
