@@ -1,0 +1,303 @@
+"""The crawl-round job + checkpoint/resume (SURVEY.md §3.1, T1-T6).
+
+One round = one DataFrame job DAG:
+
+``frontier(queued, round=r) → P2 validity (done at enqueue) → P3
+freshness vs latest results → J2 urlseen bloom anti-join (exact-
+confirmed) → W2/T4 salted per-host politeness top-k → J8 fetch join
+against pages → X1-X10 mapInPandas extraction → fan-out: results ∥
+urlseen delta ∥ frontier delta (links + deferred + retries) ∥ metrics``
+
+then one atomic manifest commit (T6).  Resume = last committed round +
+1; a crashed round leaves no visible state and re-executes.
+
+Determinism (north_rule): every operator that picks among equals uses
+an explicit deterministic order — link dedupe is a min-aggregation by
+url_hash, politeness ranks ``(depth, -priority, url_canon)``, ids are
+content-derived — so the crawl ordering and final URL-seen set are
+invariant under cluster size / partition count (property-tested at
+shuffle.partitions ∈ {1, 8, 32}).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from . import schema
+from .fetch import fetch_extract, make_doc_id
+from .politeness import apply_politeness
+from .sparkfns import with_url_identity
+from .storage import Warehouse
+from .synth import EPOCH
+from .urlseen import latest_blooms, probe_unseen, updated_bloom_partitions
+
+
+@dataclass
+class CrawlConfig:
+    warehouse: str
+    n_bloom_partitions: int = 16
+    max_depth: int = 4
+    round_duration_ms: int = 60_000
+    salt: int = 8
+    max_retries: int = 2
+    fresh_days: int = 3  # reference freshness window (src/db/model.ts:45-50)
+    now: datetime = field(default=EPOCH + timedelta(days=1))
+
+
+FRONTIER_COLS = [f.name for f in schema.FRONTIER_SCHEMA.fields]
+
+
+def _as_frontier(df: DataFrame, round_no: int, status: str = "queued") -> DataFrame:
+    return df.select(
+        "url",
+        "url_canon",
+        "url_hash",
+        "host",
+        F.col("depth").cast("int"),
+        F.coalesce(F.col("priority"), F.lit(0.0)).alias("priority"),
+        F.col("discovered_ts"),
+        F.coalesce(F.col("retry_count"), F.lit(0)).cast("int").alias("retry_count"),
+        F.lit(status).alias("status"),
+        F.lit(round_no).cast("int").alias("round"),
+    )
+
+
+def bootstrap(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    seeds: DataFrame,
+    robots: DataFrame,
+) -> Warehouse:
+    """Round 0: validate/canonicalize seeds → frontier eligible for
+    round 1; persist robots as the hostbudget dim; commit."""
+    wh = Warehouse(cfg.warehouse)
+    ident = with_url_identity(seeds)
+    deduped = (
+        ident.groupBy("url_canon", "url_hash", "host")
+        .agg(
+            F.min("url").alias("url"),
+            F.min("depth").cast("int").alias("depth"),
+            F.min("discovered_ts").alias("discovered_ts"),
+        )
+        .withColumn("priority", F.lit(0.0))
+        .withColumn("retry_count", F.lit(0))
+    )
+    frontier0 = _as_frontier(deduped, round_no=1)
+    wh.write(frontier0, "frontier", 0)
+    wh.write(robots, "hostbudget", 0)
+    n = frontier0.count()
+    wh.commit_round(0, {"frontier": n, "hostbudget": robots.count()})
+    return wh
+
+
+def _latest_results(results: DataFrame) -> DataFrame:
+    """A1/W1: newest row per url_canon (max_by on fetched_ts, id)."""
+    return (
+        results.select("url_canon", "title", "fetched_ts", "id")
+        .groupBy("url_canon")
+        .agg(
+            F.max_by(F.struct("title", "fetched_ts"), F.struct("fetched_ts", "id"))
+            .alias("s")
+        )
+        .select("url_canon", F.col("s.title").alias("prev_title"),
+                F.col("s.fetched_ts").alias("prev_fetched_ts"))
+    )
+
+
+def run_round(
+    spark: SparkSession,
+    wh: Warehouse,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    round_no: int,
+) -> dict[str, int] | None:
+    """Execute one crawl round; returns stage metrics, or None when the
+    frontier has no queued rows for this round (crawl finished)."""
+    frontier = wh.read(spark, "frontier", schema.FRONTIER_SCHEMA)
+    queued_raw = frontier.where(
+        (F.col("round") == round_no) & (F.col("status") == "queued")
+    )
+    # Deterministic in-round dedupe (S4 analog): the same url can be
+    # enqueued via several paths (retry + rediscovered link); merge to
+    # one row with min/max aggregates so the outcome is order-free.
+    queued = (
+        queued_raw.groupBy("url_hash")
+        .agg(
+            F.min("url").alias("url"),
+            F.min("url_canon").alias("url_canon"),
+            F.min("host").alias("host"),
+            F.min("depth").alias("depth"),
+            F.max("priority").alias("priority"),
+            F.min("discovered_ts").alias("discovered_ts"),
+            F.max("retry_count").alias("retry_count"),
+        )
+        .withColumn("status", F.lit("queued"))
+        .withColumn("round", F.lit(round_no).cast("int"))
+    )
+    robots = wh.read(spark, "hostbudget", schema.HOSTBUDGET_SCHEMA)
+    bloom_state = latest_blooms(
+        wh.read(spark, "urlseen_bloom", schema.URLSEEN_BLOOM_SCHEMA)
+    )
+    exact = wh.read(spark, "urlseen_exact", schema.URLSEEN_EXACT_SCHEMA)
+    results_prev = wh.read(spark, "results", schema.RESULTS_SCHEMA)
+
+    metrics: dict[str, int] = {"queued": queued.count()}
+    if metrics["queued"] == 0:
+        return None
+
+    # P3 freshness: skip urls whose latest stored doc is titled & fresh
+    fresh_cut = cfg.now - timedelta(days=cfg.fresh_days)
+    cand = (
+        queued.join(_latest_results(results_prev), "url_canon", "left")
+        .where(
+            ~(
+                F.col("prev_title").isNotNull()
+                & (F.col("prev_title") != "")
+                & (F.col("prev_fetched_ts") > F.lit(fresh_cut))
+            )
+        )
+        .drop("prev_title", "prev_fetched_ts")
+    )
+
+    # J2 URL-seen anti-join (bloom + exact confirm)
+    new_cand = probe_unseen(cand, bloom_state, exact, cfg.n_bloom_partitions)
+
+    # W2/T4 politeness
+    selected, deferred = apply_politeness(
+        new_cand, robots, cfg.round_duration_ms, cfg.salt
+    )
+    selected = selected.cache()
+    metrics["selected"] = selected.count()
+
+    # J8 + X1-X10 fetch & extract
+    extracted = fetch_extract(selected, pages).cache()
+
+    now = cfg.now
+
+    @F.pandas_udf(T.BinaryType())
+    def doc_id_udf(url_canon: pd.Series) -> pd.Series:
+        return url_canon.map(lambda u: make_doc_id(u, now))
+
+    ok = extracted.where(F.col("status") == "ok")
+    results_new = (
+        ok.withColumn("id", doc_id_udf(F.col("url_canon")))
+        .withColumn("fetched_ts", F.lit(cfg.now))
+        .withColumn("round", F.lit(round_no).cast("int"))
+        .select([f.name for f in schema.RESULTS_SCHEMA.fields])
+    )
+
+    # Terminal outcomes (ok / not_found / too_large) enter the seen set;
+    # fetch failures do NOT (S5: lock released so retries can happen).
+    terminal = extracted.where(F.col("status") != "fetch_failed")
+    new_seen = terminal.select("url_hash", "url_canon").withColumn(
+        "round", F.lit(round_no).cast("int")
+    )
+    bloom_delta = updated_bloom_partitions(
+        new_seen, bloom_state, exact, cfg.n_bloom_partitions, round_no
+    )
+
+    # Frontier growth: out-links of ok pages, deduped deterministically,
+    # minus (seen ∪ just-fetched ∪ still-queued deferred/retries).
+    links = (
+        ok.select(F.explode("links").alias("url"), F.col("depth"))
+        .withColumn("depth", (F.col("depth") + 1).cast("int"))
+        .where(F.col("depth") <= cfg.max_depth)
+    )
+    link_cand = (
+        with_url_identity(links)
+        .groupBy("url_canon", "url_hash", "host")
+        .agg(F.min("url").alias("url"), F.min("depth").alias("depth"))
+        .withColumn("priority", F.lit(0.0))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("discovered_ts", F.lit(cfg.now))
+    )
+    links_unseen = (
+        probe_unseen(link_cand, bloom_state, exact, cfg.n_bloom_partitions)
+        .join(new_seen.select("url_hash"), "url_hash", "left_anti")
+        .join(deferred.select("url_hash"), "url_hash", "left_anti")
+    )
+
+    retries = (
+        selected.select(
+            "url", "url_canon", "url_hash", "host", "depth", "priority",
+            "discovered_ts", "retry_count",
+        )
+        .join(
+            extracted.where(F.col("status") == "fetch_failed").select("url_hash"),
+            "url_hash",
+        )
+        .withColumn("retry_count", (F.col("retry_count") + 1).cast("int"))
+        .where(F.col("retry_count") <= cfg.max_retries)
+    )
+
+    deferred_next = deferred.select(
+        "url", "url_canon", "url_hash", "host", "depth", "priority",
+        "discovered_ts", "retry_count",
+    )
+    frontier_delta = (
+        _as_frontier(links_unseen, round_no + 1)
+        .unionByName(_as_frontier(deferred_next, round_no + 1))
+        .unionByName(_as_frontier(retries, round_no + 1))
+    )
+
+    # -- persist + atomic commit (T6) ------------------------------------
+    wh.write(results_new, "results", round_no)
+    wh.write(new_seen, "urlseen_exact", round_no)
+    wh.write(bloom_delta, "urlseen_bloom", round_no)
+    wh.write(frontier_delta, "frontier", round_no)
+
+    metrics["results"] = results_new.count()
+    metrics["new_seen"] = new_seen.count()
+    metrics["frontier_delta"] = frontier_delta.count()
+    metrics_rows = [
+        (round_no, stage, None, int(v), None) for stage, v in metrics.items()
+    ]
+    wh.write(
+        spark.createDataFrame(metrics_rows, schema.METRICS_SCHEMA),
+        "metrics",
+        round_no,
+    )
+    # Commit keys are TABLE names (the manifest is what readers prune on).
+    wh.commit_round(
+        round_no,
+        {
+            "results": metrics["results"],
+            "urlseen_exact": metrics["new_seen"],
+            "urlseen_bloom": metrics["new_seen"],
+            "frontier": metrics["frontier_delta"],
+            "metrics": len(metrics_rows),
+        },
+    )
+    selected.unpersist()
+    extracted.unpersist()
+    return metrics
+
+
+def run_crawl(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    seeds: DataFrame | None = None,
+    robots: DataFrame | None = None,
+    max_rounds: int = 10,
+) -> list[dict[str, int]]:
+    """Drive a crawl to completion (or max_rounds), resuming from the
+    last committed round if the warehouse already has state."""
+    wh = Warehouse(cfg.warehouse)
+    last = wh.last_committed_round()
+    if last is None:
+        if seeds is None or robots is None:
+            raise ValueError("fresh crawl needs seeds and robots")
+        wh = bootstrap(spark, cfg, seeds, robots)
+        last = 0
+    all_metrics: list[dict[str, int]] = []
+    for round_no in range(last + 1, last + 1 + max_rounds):
+        m = run_round(spark, wh, cfg, pages, round_no)
+        if m is None:
+            break
+        all_metrics.append(m)
+    return all_metrics

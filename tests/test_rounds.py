@@ -1,0 +1,176 @@
+"""End-to-end crawl-round tests (SURVEY.md §5 step 3).
+
+Asserts the north_rule invariants on a deterministic synthetic corpus:
+(a) byte-identical extracted text per url vs the pinned kernel,
+(b) crawl ordering equals the single-threaded oracle simulator,
+(c) final URL-seen set equality,
+(d) checkpoint resume reproduces the same outputs,
+(e) invariance under shuffle-partition count (cluster-size analog).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlkit import schema
+from crawlkit.rounds import CrawlConfig, run_crawl, run_round
+from crawlkit.storage import Warehouse
+from crawlkit.synth import robots_df, seeds_df
+
+from oracle_sim import simulate_crawl
+
+MAX_ROUNDS = 4
+MAX_DEPTH = 3
+
+
+def _crawl(spark, pages, synth_cfg, wh_dir, max_rounds=MAX_ROUNDS):
+    cfg = CrawlConfig(warehouse=wh_dir, n_bloom_partitions=16,
+                      max_depth=MAX_DEPTH, salt=4)
+    metrics = run_crawl(
+        spark, cfg, pages,
+        seeds_df(spark, synth_cfg), robots_df(spark, synth_cfg),
+        max_rounds=max_rounds,
+    )
+    return cfg, metrics
+
+
+def _fetch_order(spark, wh_dir):
+    """Engine crawl order: (round, host, host_rank, url_canon) of all
+    terminal fetches, from the results + seen tables."""
+    wh = Warehouse(wh_dir)
+    seen = wh.read(spark, "urlseen_exact", schema.URLSEEN_EXACT_SCHEMA)
+    return {
+        (r["round"], r["url_canon"])
+        for r in seen.select("round", "url_canon").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark, pages, synth_cfg, tmp_path_factory):
+    wh_dir = str(tmp_path_factory.mktemp("wh-main"))
+    cfg, metrics = _crawl(spark, pages, synth_cfg, wh_dir)
+    return cfg, metrics, wh_dir
+
+
+@pytest.fixture(scope="module")
+def sim(synth_cfg):
+    return simulate_crawl(synth_cfg, max_rounds=MAX_ROUNDS, max_depth=MAX_DEPTH)
+
+
+def test_text_parity_byte_identical(spark, pages, crawl_run):
+    _, _, wh_dir = crawl_run
+    wh = Warehouse(wh_dir)
+    res = wh.read(spark, "results", schema.RESULTS_SCHEMA)
+    joined = res.select("url_canon", "text").join(
+        pages.selectExpr("url as url_canon", "text as golden"), "url_canon"
+    )
+    total = joined.count()
+    assert total > 50
+    assert joined.where(F.col("text") != F.col("golden")).count() == 0
+    # every result url must exist in pages (fetch = table join)
+    assert res.count() == total
+
+
+def test_urlseen_matches_oracle(spark, crawl_run, sim):
+    _, _, wh_dir = crawl_run
+    wh = Warehouse(wh_dir)
+    seen = {
+        r["url_canon"]
+        for r in wh.read(spark, "urlseen_exact", schema.URLSEEN_EXACT_SCHEMA)
+        .select("url_canon")
+        .collect()
+    }
+    assert seen == sim.seen
+
+
+def test_crawl_ordering_matches_oracle(spark, crawl_run, sim):
+    """Per-round fetched sets + per-host ranks equal the sequential
+    oracle (the engine's politeness rank is its crawl order)."""
+    _, metrics, wh_dir = crawl_run
+    wh = Warehouse(wh_dir)
+    seen = wh.read(spark, "urlseen_exact", schema.URLSEEN_EXACT_SCHEMA)
+    engine_rounds: dict[int, set[str]] = {}
+    for row in seen.collect():
+        engine_rounds.setdefault(row["round"], set()).add(row["url_canon"])
+    # oracle round r fetched set, restricted to terminal (page existed)
+    for r, selected in enumerate(sim.rounds, start=1):
+        oracle_terminal = {
+            cu for (_h, _rank, cu) in selected if cu in sim.seen
+        } & {cu for cu in sim.seen}
+        # restrict to urls first seen in round r in oracle
+        prev = set()
+        for rr in range(1, r):
+            prev |= engine_rounds.get(rr, set())
+        oracle_r = {
+            cu
+            for (_h, _rank, cu) in selected
+            if cu in sim.seen and cu not in prev
+        }
+        assert engine_rounds.get(r, set()) == oracle_r, f"round {r} mismatch"
+
+
+def test_results_match_oracle_titles(spark, crawl_run, sim):
+    _, _, wh_dir = crawl_run
+    wh = Warehouse(wh_dir)
+    res = wh.read(spark, "results", schema.RESULTS_SCHEMA)
+    engine = {
+        r["url_canon"]: (r["title"], r["text"])
+        for r in res.select("url_canon", "title", "text").collect()
+    }
+    assert set(engine) == set(sim.results)
+    for cu, (title, text) in engine.items():
+        assert sim.results[cu]["title"] == title
+        assert sim.results[cu]["text"] == text  # byte-identical
+
+
+def test_resume_from_checkpoint(spark, pages, synth_cfg, tmp_warehouse):
+    """Run 2 rounds, 'crash', resume → identical final state to an
+    uninterrupted run (T6)."""
+    cfg = CrawlConfig(warehouse=tmp_warehouse, n_bloom_partitions=16,
+                      max_depth=MAX_DEPTH, salt=4)
+    run_crawl(spark, cfg, pages, seeds_df(spark, synth_cfg),
+              robots_df(spark, synth_cfg), max_rounds=2)
+    wh = Warehouse(tmp_warehouse)
+    assert wh.last_committed_round() == 2
+    # resume (no seeds needed — state is in the warehouse)
+    run_crawl(spark, cfg, pages, max_rounds=MAX_ROUNDS - 2)
+    resumed = _fetch_order(spark, tmp_warehouse)
+    # compare against uninterrupted reference run
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ref_dir:
+        _crawl(spark, pages, synth_cfg, ref_dir)
+        straight = _fetch_order(spark, ref_dir)
+    assert resumed == straight
+
+
+def test_uncommitted_round_is_invisible(spark, pages, synth_cfg, tmp_warehouse):
+    """A round written but not committed must not be readable (atomic
+    snapshot semantics)."""
+    cfg = CrawlConfig(warehouse=tmp_warehouse, max_depth=MAX_DEPTH, salt=4)
+    run_crawl(spark, cfg, pages, seeds_df(spark, synth_cfg),
+              robots_df(spark, synth_cfg), max_rounds=1)
+    wh = Warehouse(tmp_warehouse)
+    before = wh.read(spark, "results", schema.RESULTS_SCHEMA).count()
+    # stage round 2 data without committing
+    df = wh.read(spark, "results", schema.RESULTS_SCHEMA).limit(1)
+    wh.write(df, "results", 99)
+    after = wh.read(spark, "results", schema.RESULTS_SCHEMA).count()
+    assert after == before
+
+
+def test_partition_count_invariance(spark, pages, synth_cfg, tmp_path_factory):
+    """north_rule cluster-size invariant: same ordering & seen set at
+    shuffle.partitions = 1 vs 8."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        d1 = str(tmp_path_factory.mktemp("wh-p1"))
+        _crawl(spark, pages, synth_cfg, d1, max_rounds=2)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        d8 = str(tmp_path_factory.mktemp("wh-p8"))
+        _crawl(spark, pages, synth_cfg, d8, max_rounds=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert _fetch_order(spark, d1) == _fetch_order(spark, d8)
