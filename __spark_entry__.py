@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship corpus-pipeline query on sf0.001;
+``queries()`` exposes one DataFrame builder per implemented operator
+from SURVEY.md §2 plus the corpus-pipeline operators (dedupe /
+similarity / text analysis / multimodal / crawl round); ``oracle_sql()``
+carries the DuckDB twin for every SQL-expressible entry (see
+``crawlkit/queries.py`` for the cross-engine determinism rules).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from crawlkit import queries as Q
+from crawlkit import textops
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the text-corpus triage pipeline over sf0.001 documents —
+    token/quality/langid/fingerprint signals per doc, the shape every
+    crawl round's results feed into downstream."""
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        "lang",
+        textops.token_count("text").cast("long").alias("n_tokens"),
+        F.round(textops.stopword_ratio("text"), 3).alias("stop_ratio"),
+        F.round(textops.quality_score("text"), 3).alias("quality"),
+        textops.langid("text").alias("langid_guess"),
+        textops.fingerprint("text", 8).alias("fingerprint"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in Q.REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in Q.REGISTRY.items() if sql is not None
+    }

@@ -1,0 +1,174 @@
+"""Embedding similarity operators: cosine, brute-force ANN top-k,
+hyperplane-LSH bucketing, and embedding near-duplicate pairs.
+
+Scale design: the brute-force path is the correctness baseline (one
+broadcast of the query vector, a narrow map, a top-k — no shuffle of
+the embedding column beyond the final limit).  The scale path buckets
+vectors by a P-bit random-hyperplane signature so candidate generation
+joins only within buckets (the same shuffle shape as MinHash-LSH in
+``dedupe.py``); multi-probe = also probing 1-bit-flipped signatures.
+
+All arithmetic is double-precision and built-in (``zip_with`` +
+``aggregate`` — JVM-side, codegen); hyperplane weights derive from
+``md5i60`` so the DuckDB oracle reproduces signatures exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textops import md5i60
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na, nb = F.sqrt(dot(a, a)), F.sqrt(dot(b, b))
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def ann_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k vs. the vector with id == query_id.
+
+    The single query row is broadcast; the scan stays narrow (no
+    shuffle of embeddings); top-k is a TakeOrderedAndProject.
+    Deterministic tie-break on id.
+    """
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    return (
+        df.where(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 3).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplane_weight(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1): md5-derived, so
+    both engines generate identical planes."""
+    h = md5i60(F.concat(plane.cast("string"), F.lit(","), dim.cast("string")))
+    return h / F.lit(float(2**59)) - 1.0
+
+
+def lsh_signature(vec_col: Column, n_planes: int = 8) -> Column:
+    """P-bit sign signature as a BIGINT bucket id."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.sequence(F.lit(0), F.size(vec_col) - 1),
+                    lambda x, d: x.cast("double") * hyperplane_weight(p, d),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            # 2^p as exact long (shiftleft needs a literal bit count)
+            F.pow(F.lit(2.0), p.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket histogram of the hyperplane-LSH signature — the partition
+    layout of the scale-path ANN (candidates join within bucket)."""
+    return (
+        df.select(lsh_signature(F.col(vec_col), n_planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path ANN: probe only the query's bucket plus 1-bit-flipped
+    neighbor buckets (multi-probe), then exact cosine within candidates.
+    Approximate — recall depends on n_planes; baseline is ann_topk."""
+    sig = df.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+    qrow = sig.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    probes = qrow.select(
+        "qvec",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    return (
+        sig.where(F.col(id_col) != query_id)
+        .join(F.broadcast(probes), "bucket")
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 3).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) within a
+    blocking key; the quadratic-within-block fallback, LSH-bucketed for
+    scale via :func:`lsh_signature` as the block instead."""
+    base = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.blk").alias(block_col),
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 3).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
