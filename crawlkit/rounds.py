@@ -21,6 +21,8 @@ shuffle.partitions ∈ {1, 8, 32}).
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 
@@ -49,6 +51,20 @@ class CrawlConfig:
 
 
 FRONTIER_COLS = [f.name for f in schema.FRONTIER_SCHEMA.fields]
+
+
+def _timer():
+    """Per-step wall-clock prints, enabled by CRAWLKIT_TIMING=1."""
+    if not os.environ.get("CRAWLKIT_TIMING"):
+        return lambda label: None
+    t = [time.perf_counter()]
+
+    def tick(label: str) -> None:
+        now = time.perf_counter()
+        print(f"    [timing] {label}: {now - t[0]:.2f}s", flush=True)
+        t[0] = now
+
+    return tick
 
 
 def _as_frontier(df: DataFrame, round_no: int, status: str = "queued") -> DataFrame:
@@ -117,6 +133,7 @@ def run_round(
 ) -> dict[str, int] | None:
     """Execute one crawl round; returns stage metrics, or None when the
     frontier has no queued rows for this round (crawl finished)."""
+    tick = _timer()
     frontier = wh.read(spark, "frontier", schema.FRONTIER_SCHEMA)
     queued_raw = frontier.where(
         (F.col("round") == round_no) & (F.col("status") == "queued")
@@ -145,36 +162,58 @@ def run_round(
     exact = wh.read(spark, "urlseen_exact", schema.URLSEEN_EXACT_SCHEMA)
     results_prev = wh.read(spark, "results", schema.RESULTS_SCHEMA)
 
+    queued = queued.persist()
     metrics: dict[str, int] = {"queued": queued.count()}
+    tick("read+queued.count")
     if metrics["queued"] == 0:
+        queued.unpersist()
         return None
+
+    # Manifest-metadata short-circuits (no Spark jobs): round 1 of any
+    # crawl has no stored results and no seen-set — skip the freshness
+    # join and the bloom probe entirely instead of cogrouping with
+    # empty state.
+    have_results = bool(wh.committed_rounds("results"))
+    have_seen = bool(wh.committed_rounds("urlseen_exact"))
+
+    def probe(df: DataFrame) -> DataFrame:
+        if not have_seen:
+            return df
+        return probe_unseen(df, bloom_state, exact, cfg.n_bloom_partitions)
 
     # P3 freshness: skip urls whose latest stored doc is titled & fresh
     fresh_cut = cfg.now - timedelta(days=cfg.fresh_days)
-    cand = (
-        queued.join(_latest_results(results_prev), "url_canon", "left")
-        .where(
-            ~(
-                F.col("prev_title").isNotNull()
-                & (F.col("prev_title") != "")
-                & (F.col("prev_fetched_ts") > F.lit(fresh_cut))
+    if have_results:
+        cand = (
+            queued.join(_latest_results(results_prev), "url_canon", "left")
+            .where(
+                ~(
+                    F.col("prev_title").isNotNull()
+                    & (F.col("prev_title") != "")
+                    & (F.col("prev_fetched_ts") > F.lit(fresh_cut))
+                )
             )
+            .drop("prev_title", "prev_fetched_ts")
         )
-        .drop("prev_title", "prev_fetched_ts")
-    )
+    else:
+        cand = queued
 
-    # J2 URL-seen anti-join (bloom + exact confirm)
-    new_cand = probe_unseen(cand, bloom_state, exact, cfg.n_bloom_partitions)
+    # J2 URL-seen anti-join (bloom + exact confirm).  Persisted: the
+    # politeness split references it for both selected and deferred.
+    new_cand = probe(cand).persist()
 
-    # W2/T4 politeness
+    # W2/T4 politeness.  Both halves persisted — deferred feeds the
+    # link anti-join AND the next-round frontier.
     selected, deferred = apply_politeness(
         new_cand, robots, cfg.round_duration_ms, cfg.salt
     )
-    selected = selected.cache()
+    selected = selected.persist()
+    deferred = deferred.persist()
     metrics["selected"] = selected.count()
+    tick("probe+politeness+selected.count")
 
     # J8 + X1-X10 fetch & extract
-    extracted = fetch_extract(selected, pages).cache()
+    extracted = fetch_extract(selected, pages).persist()
 
     now = cfg.now
 
@@ -193,8 +232,10 @@ def run_round(
     # Terminal outcomes (ok / not_found / too_large) enter the seen set;
     # fetch failures do NOT (S5: lock released so retries can happen).
     terminal = extracted.where(F.col("status") != "fetch_failed")
-    new_seen = terminal.select("url_hash", "url_canon").withColumn(
-        "round", F.lit(round_no).cast("int")
+    new_seen = (
+        terminal.select("url_hash", "url_canon")
+        .withColumn("round", F.lit(round_no).cast("int"))
+        .persist()  # feeds bloom rebuild, link anti-join, write, count
     )
     bloom_delta = updated_bloom_partitions(
         new_seen, bloom_state, exact, cfg.n_bloom_partitions, round_no
@@ -216,7 +257,7 @@ def run_round(
         .withColumn("discovered_ts", F.lit(cfg.now))
     )
     links_unseen = (
-        probe_unseen(link_cand, bloom_state, exact, cfg.n_bloom_partitions)
+        probe(link_cand)
         .join(new_seen.select("url_hash"), "url_hash", "left_anti")
         .join(deferred.select("url_hash"), "url_hash", "left_anti")
     )
@@ -242,17 +283,23 @@ def run_round(
         _as_frontier(links_unseen, round_no + 1)
         .unionByName(_as_frontier(deferred_next, round_no + 1))
         .unionByName(_as_frontier(retries, round_no + 1))
+        .persist()  # written AND counted — run the link probe once
     )
 
     # -- persist + atomic commit (T6) ------------------------------------
     wh.write(results_new, "results", round_no)
+    tick("extract+results.write")
     wh.write(new_seen, "urlseen_exact", round_no)
+    tick("exact.write")
     wh.write(bloom_delta, "urlseen_bloom", round_no)
+    tick("bloom.write")
     wh.write(frontier_delta, "frontier", round_no)
+    tick("frontier.write")
 
     metrics["results"] = results_new.count()
     metrics["new_seen"] = new_seen.count()
     metrics["frontier_delta"] = frontier_delta.count()
+    tick("counts")
     metrics_rows = [
         (round_no, stage, None, int(v), None) for stage, v in metrics.items()
     ]
@@ -272,8 +319,9 @@ def run_round(
             "metrics": len(metrics_rows),
         },
     )
-    selected.unpersist()
-    extracted.unpersist()
+    for df in (queued, new_cand, selected, deferred, extracted, new_seen,
+               frontier_delta):
+        df.unpersist()
     return metrics
 
 

@@ -45,6 +45,11 @@ class SynthConfig:
     fanout: int = 4
     skew: bool = False  # mega-host holds ~80% of pages
     n_seeds: int = 10
+    # page body weight: paragraph-count range (default matches the
+    # original fixture bytes; bench raises it so per-page extraction
+    # cost resembles real 50-200 KB web pages)
+    body_paras: tuple = (2, 5)
+    para_words: tuple = (8, 24)
     # "now" for freshness logic — fixed for determinism (T3/P3)
     now: datetime = field(default=EPOCH + timedelta(days=1))
 
@@ -115,7 +120,8 @@ def page_html(i: int, cfg: SynthConfig) -> str:
         for j in link_targets(i, cfg)
     )
     paras = "".join(
-        f"<p>{_words(rng, rng.randint(8, 24))}</p>" for _ in range(rng.randint(2, 5))
+        f"<p>{_words(rng, rng.randint(*cfg.para_words))}</p>"
+        for _ in range(rng.randint(*cfg.body_paras))
     )
     meta_lines = [
         f'<meta property="og:site_name" content="Host {host_of(i, cfg)}">',

@@ -1,0 +1,223 @@
+"""Tests for the corpus-pipeline operators (textops / dedupe /
+embeddings / multimodal) and the driver-contract oracle parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+# ---------------------------------------------------------------------------
+# textops
+
+def test_langid_text_pure():
+    from crawlkit.textops import langid_text
+
+    assert langid_text("the quick fox and the dog is here") == "eng"
+    assert langid_text("der hund und die katze ist nicht da") == "deu"
+    assert langid_text("xyzzy plugh") == "und"
+    assert langid_text("") == "und"
+
+
+def test_quality_and_fingerprint(spark):
+    from crawlkit import textops
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat today ok"),
+         (2, "the cat sat on the mat today never"),
+         (3, "completely different words entirely here now"),
+         (4, "")],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        textops.token_count("text").alias("n"),
+        textops.quality_score("text").alias("q"),
+        textops.fingerprint("text", 5).alias("fp"),
+    ).toPandas().set_index("doc_id")
+    assert out.loc[4, "n"] == 0
+    assert 0.0 <= out.loc[1, "q"] <= 1.0
+    # docs 1 and 2 share their first-5-token prefix → same fingerprint
+    assert out.loc[1, "fp"] == out.loc[2, "fp"]
+    assert out.loc[1, "fp"] != out.loc[3, "fp"]
+
+
+# ---------------------------------------------------------------------------
+# dedupe
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("kappa", "lambda", 1)
+    rows = [(0, base, "en"), (1, base, "en"), (2, near, "en"),
+            (3, "one two three four five six seven eight nine ten", "en"),
+            (4, "uno dos tres cuatro cinco seis siete ocho nueve diez", "de")]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedupe(spark, dup_docs):
+    from crawlkit.dedupe import exact_dedupe
+
+    out = exact_dedupe(dup_docs).toPandas()
+    assert len(out) == 4  # 0 and 1 collapse
+    grp = out[out.n_copies > 1]
+    assert len(grp) == 1 and grp.iloc[0]["doc_id"] == 0
+
+
+def test_minhash_finds_planted_dups(spark, dup_docs):
+    from crawlkit.dedupe import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(dup_docs, threshold=0.5).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (0, 1) in got  # identical
+    assert (0, 2) in got and (1, 2) in got  # near-dup
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in got)
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert float(exact.jacc.iloc[0]) == 1.0
+
+
+def test_minhash_partition_invariance(spark, dup_docs):
+    from crawlkit.dedupe import minhash_lsh_pairs
+
+    def run():
+        return sorted(
+            map(tuple, minhash_lsh_pairs(dup_docs, threshold=0.5)
+                .toPandas().values.tolist())
+        )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        many = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert one == many
+
+
+def test_simhash_properties(spark, dup_docs):
+    from crawlkit.dedupe import simhash
+
+    out = simhash(dup_docs).toPandas().set_index("doc_id")["simhash"]
+    assert out.loc[0] == out.loc[1]  # identical text → identical signature
+    ham = bin(out.loc[0] ^ out.loc[2]).count("1")
+    assert ham <= 12  # near-dup → few differing bits
+    far = bin(out.loc[0] ^ out.loc[3]).count("1")
+    assert far > ham
+
+
+def test_ngram_jaccard_pairs(spark, dup_docs):
+    from crawlkit.dedupe import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(dup_docs, threshold=0.5).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = rng.normal(size=8)
+    for i in range(40):
+        if i < 3:  # a tight cluster around `base`
+            v = base + rng.normal(scale=0.01, size=8)
+        else:
+            v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v], i % 2))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_ann_topk_exact(spark, vecs):
+    from crawlkit.embeddings import ann_topk
+
+    out = ann_topk(vecs, query_id=0, k=5).toPandas()
+    assert list(out.vec_id[:2]) == [1, 2]  # cluster mates rank first
+    assert out.sim.iloc[0] > 0.99
+    assert list(out.sim) == sorted(out.sim, reverse=True)
+
+
+def test_ann_lsh_recall_of_near_dups(spark, vecs):
+    from crawlkit.embeddings import ann_topk_lsh
+
+    out = ann_topk_lsh(vecs, query_id=0, k=5, n_planes=8).toPandas()
+    # near-identical vectors share the bucket → multi-probe must find them
+    assert {1, 2} <= set(out.vec_id)
+
+
+def test_lsh_bucket_histogram_total(spark, vecs):
+    from crawlkit.embeddings import lsh_buckets
+
+    out = lsh_buckets(vecs, n_planes=4).toPandas()
+    assert out.n_vectors.sum() == 40
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+
+def test_multimodal_stub_plumbing(spark):
+    from crawlkit.multimodal import as_media, decode_image_stub, extract_features
+
+    df = spark.createDataFrame([(1, "abc"), (2, "abcd")], ["doc_id", "text"])
+    out = extract_features(as_media(df)).toPandas().set_index("media_id")
+    for mid, text in [(1, "abc"), (2, "abcd")]:
+        ref = decode_image_stub(text.encode())
+        assert out.loc[mid, "n_bytes"] == ref["n_bytes"]
+        assert out.loc[mid, "format"] == ref["format"]
+        assert out.loc[mid, "width"] == ref["width"]
+        assert out.loc[mid, "height"] == ref["height"]
+
+
+# ---------------------------------------------------------------------------
+# oracle parity (driver-gate replica on a representative subset)
+
+PARITY_SUBSET = [
+    "agg_pricing_summary",
+    "j8_copartition_join",
+    "w2_topk_per_group",
+    "f_json_extract",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_cosine",
+    "ann_lsh_buckets",
+    "multimodal_features",
+]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("float", "Float")):
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", PARITY_SUBSET)
+def test_oracle_parity(spark, name):
+    from crawlkit.queries import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"read_parquet('{SF}/{tname}.parquet')"
+        )
+    s = _norm(fn(spark, SF).toPandas())
+    d = _norm(con.execute(sql).df())
+    assert len(s) == len(d)
+    assert list(s.columns) == list(d.columns)
+    pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=False,
+                                  rtol=0, atol=1e-9)

@@ -1,0 +1,103 @@
+"""Two-cluster-size scaling evidence (north_rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the same saturated crawl
+round — every page seeded, politeness unlimited, full fetch+extract —
+runs at local[N] and local[4N] on the SAME corpus; we report throughput
+at both and efficiency = (T_4N / T_N) / 4.
+
+The corpus is generated ONCE (at full parallelism, untimed) and
+written to parquet; each timed session reads it cold.  Pages use the
+heavy synthetic profile (~24 KB html, ~12 ms extraction) so per-page
+work resembles real web pages rather than fixture stubs; a saturated
+round is the steady-state per-round pipeline (canonicalize → bloom
+anti-join → politeness rank → fetch join → Arrow-batched extraction →
+state commit), not the frontier ramp-up.
+
+Usage: python tools/bench_scaling.py [n_small] [n_pages]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+HEAVY = {"body_paras": (150, 250), "para_words": (8, 24)}
+
+
+def synth_cfg(n_pages: int):
+    from crawlkit.synth import SynthConfig
+
+    return SynthConfig(n_pages=n_pages, n_hosts=100, n_seeds=10, fanout=4, **HEAVY)
+
+
+def generate_corpus(n_pages: int, out_dir: str) -> None:
+    from crawlkit.session import get_spark
+    from crawlkit.synth import synth_pages
+
+    spark = get_spark("crawlkit-scale-gen", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_pages(spark, synth_cfg(n_pages)).write.mode("overwrite").parquet(out_dir)
+    spark.stop()
+
+
+def run_at(cores: int, n_pages: int, corpus_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from crawlkit.rounds import CrawlConfig, run_crawl
+    from crawlkit.session import get_spark
+    from crawlkit.synth import robots_df
+
+    spark = get_spark(
+        f"crawlkit-scale-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(corpus_dir)
+
+    # saturate: every page url is a seed; crawl_delay=0 → unlimited quota
+    seeds = pages.select("url", F.lit(0).alias("depth"),
+                         F.col("warc_ts").alias("discovered_ts"))
+    robots = robots_df(spark, synth_cfg(n_pages)).withColumn(
+        "crawl_delay_ms", F.lit(0).cast("long")
+    )
+
+    wh = tempfile.mkdtemp(prefix=f"crawlkit-scale{cores}-")
+    cfg = CrawlConfig(warehouse=wh, round_duration_ms=600_000)
+    t0 = time.perf_counter()
+    metrics = run_crawl(spark, cfg, pages, seeds, robots, max_rounds=1)
+    dt = time.perf_counter() - t0
+    fetched = sum(m.get("selected", 0) for m in metrics)
+    shutil.rmtree(wh, ignore_errors=True)
+    spark.stop()
+    return {"cores": cores, "fetched": fetched, "seconds": round(dt, 2),
+            "pages_per_sec": round(fetched / dt, 2)}
+
+
+def main() -> None:
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
+    corpus_dir = tempfile.mkdtemp(prefix="crawlkit-scale-corpus-") + "/pages"
+    generate_corpus(n_pages, corpus_dir)
+    small = run_at(n_small, n_pages, corpus_dir)
+    big = run_at(n_small * 4, n_pages, corpus_dir)
+    shutil.rmtree(str(Path(corpus_dir).parent), ignore_errors=True)
+    eff = round(big["pages_per_sec"] / small["pages_per_sec"] / 4, 3)
+    print(json.dumps({
+        "n_pages": n_pages,
+        "small": small,
+        "big": big,
+        "scaling_efficiency_Nto4N": eff,
+    }))
+
+
+if __name__ == "__main__":
+    main()
