@@ -110,4 +110,10 @@ def fetch_extract(selected: DataFrame, pages: DataFrame) -> DataFrame:
         narrow.url_canon == F.col("page_url"),
         "left",
     ).drop("page_url")
-    return joined.mapInPandas(_extract_partition, EXTRACTED_SCHEMA)
+    # The join output inherits the pages scan's split count; a small
+    # corpus (few parquet splits) would starve the CPU-bound extraction
+    # stage.  spread() rebalances only when under-parallel — at cluster
+    # scale the scan has plenty of splits and this is a no-op.
+    from .dedupe import spread
+
+    return spread(joined).mapInPandas(_extract_partition, EXTRACTED_SCHEMA)

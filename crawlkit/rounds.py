@@ -41,7 +41,8 @@ from .urlseen import latest_blooms, probe_unseen, updated_bloom_partitions
 @dataclass
 class CrawlConfig:
     warehouse: str
-    n_bloom_partitions: int = 16
+    # power of two; also the parallelism of bloom probe/rebuild stages
+    n_bloom_partitions: int = 64
     max_depth: int = 4
     round_duration_ms: int = 60_000
     salt: int = 8

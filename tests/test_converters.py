@@ -1,0 +1,230 @@
+"""Converter surface (X10-X14) + docstore read API tests."""
+
+from __future__ import annotations
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# X10 findTitle
+
+def test_find_title_levels():
+    from crawlkit.converters import find_title, title_of
+
+    doc = {
+        "type": "doc",
+        "content": [
+            {"type": "paragraph", "content": [{"type": "text", "text": "x"}]},
+            {"type": "heading", "attrs": {"level": 2},
+             "content": [{"type": "text", "text": "Second"},
+                         {"type": "text", "text": "Title"}]},
+            {"type": "heading", "attrs": {"level": 1},
+             "content": [{"type": "text", "text": "First"}]},
+        ],
+    }
+    assert find_title(doc, 1) == "First"
+    assert find_title(doc, 2) == "Second Title"  # texts joined with ' '
+    assert find_title(doc, 3) == ""
+    assert title_of(doc) == "First"
+    assert title_of({"type": "doc", "content": doc["content"][:2]}) == "Second Title"
+
+
+# ---------------------------------------------------------------------------
+# X13 plain text
+
+def test_convert_text_paragraph_per_line():
+    from crawlkit.converters import convert_text
+
+    doc = convert_text(b"first line\r\n\r\n  second  \rthird\n")
+    paras = [n for n in doc["content"] if n["type"] == "paragraph"]
+    assert [p["content"][0]["text"] for p in paras] == [
+        "first line", "second", "third",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# X11 markdown
+
+def test_convert_markdown_structures():
+    from crawlkit.converters import convert_markdown, find_title
+
+    md = b"""# The Title
+
+Some *emphasis* and **strong** text with `code`.
+
+- item one
+- item two
+
+1. first
+2. second
+
+> quoted text
+
+```
+raw code
+```
+
+[link](https://x.example/p)
+"""
+    doc = convert_markdown(md, seed="t")
+    assert find_title(doc, 1) == "The Title"
+    types = [n["type"] for n in doc["content"]]
+    assert "heading" in types and "paragraph" in types
+    assert "bulletList" in types or "bullet_list" in types
+    assert "orderedList" in types or "ordered_list" in types
+    assert "blockquote" in types
+    assert "codeBlock" in types or "code_block" in types
+
+
+def test_markdown_link_marks_amended():
+    from crawlkit.converters import convert_markdown
+
+    doc = convert_markdown(b"[x](https://a.example/)", seed="t")
+    para = doc["content"][0]
+    text = para["content"][0]
+    mark = text["marks"][0]
+    # X7 link-mark rewrite: rel + target forced, class dropped
+    assert mark["attrs"]["rel"] == "noopener noreferrer"
+    assert mark["attrs"]["target"] == "_blank"
+    assert "class" not in mark["attrs"]
+
+
+# ---------------------------------------------------------------------------
+# X12 PDF algorithm
+
+def test_heading_level_histogram():
+    from crawlkit.converters import HeadingLevel
+
+    hl = HeadingLevel()
+    for _ in range(50):
+        hl.add(10.0)  # body text mode
+    for _ in range(3):
+        hl.add(24.0)  # h1
+    for _ in range(5):
+        hl.add(18.0)  # h2
+    hl.finalize()
+    assert hl.level(24.0) == 1
+    assert hl.level(18.0) == 2
+    assert hl.level(10.0) == 0  # body
+
+
+def test_convert_pdf_items_assembly():
+    from crawlkit.converters import PdfTextItem as I, convert_pdf_items, find_title
+
+    body = [I("body text ", 10.0), I("more", 10.0, has_eol=True)]
+    page = (
+        [I("Big", 24.0), I(" Title", 24.0, has_eol=True)]
+        + body * 20
+        + [I("Still Title", 24.0, has_eol=True)]  # same level → merges? no: not consecutive
+        + [I("tail no eol", 10.0)]
+    )
+    doc = convert_pdf_items([page], seed="t")
+    assert find_title(doc, 1) == "Big Title"
+    types = [n["type"] for n in doc["content"]]
+    assert types.count("heading") == 2
+    assert types[-1] == "paragraph"  # trailing non-EOL text flushed
+
+
+def test_consecutive_same_level_headings_merge():
+    from crawlkit.converters import PdfTextItem as I, convert_pdf_items
+
+    page = [I("body", 10.0, has_eol=True)] * 30 + [
+        I("Head A", 20.0, has_eol=True),
+        I("Head B", 20.0, has_eol=True),
+    ]
+    doc = convert_pdf_items([page], seed="t")
+    headings = [n for n in doc["content"] if n["type"] == "heading"]
+    assert len(headings) == 1
+    assert [t["text"] for t in headings[0]["content"]] == ["Head A", "Head B"]
+
+
+def test_pdf_bytes_stubbed():
+    from crawlkit.converters import convert_pdf
+
+    with pytest.raises(NotImplementedError):
+        convert_pdf(b"%PDF-1.4")
+
+
+# ---------------------------------------------------------------------------
+# X14 dispatch + API
+
+def test_mime_dispatch():
+    from crawlkit.converters import (UnsupportedMediaType, convert_api,
+                                     get_converter)
+
+    assert get_converter("text/plain").__name__ == "convert_text"
+    assert get_converter("text/markdown").__name__ == "convert_markdown"
+    assert get_converter("text/x-markdown").__name__ == "convert_markdown"
+    assert get_converter("text/html").__name__ == "convert_html"
+    with pytest.raises(UnsupportedMediaType):
+        get_converter("application/json")
+    out = convert_api(b"# T\n\nbody", "text/markdown")
+    assert out.title == "T" and out.error is None and out.content_cbor
+    big = convert_api(b"x" * (1024 * 1024 + 1), "text/plain")
+    assert big.error == "body too large"
+
+
+def test_convert_api_cbor_roundtrip():
+    from crawlkit import cborlite
+    from crawlkit.converters import convert_api
+
+    out = convert_api(b"hello\nworld", "text/plain")
+    assert cborlite.loads(out.content_cbor) == out.doc
+
+
+def test_convert_table_spark(spark):
+    from crawlkit.converters import convert_table
+
+    df = spark.createDataFrame(
+        [(1, "# Title\n\npara", "text/markdown"),
+         (2, "line one\nline two", "text/plain"),
+         (3, "<h1>H</h1><p>b</p>", "text/html"),
+         (4, "data", "application/octet-stream")],
+        ["doc_id", "body", "mime"],
+    )
+    out = convert_table(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "title"] == "Title"
+    assert out.loc[2, "error"] is None and out.loc[2, "n_nodes"] > 1
+    assert out.loc[3, "title"] == "H"
+    assert out.loc[4, "error"].startswith("not implemented")
+
+
+# ---------------------------------------------------------------------------
+# docstore
+
+def test_docstore_lookups(spark):
+    import datetime as dt
+
+    from crawlkit import docstore
+
+    rows = [
+        (b"\x01" * 12, "https://a.example/p", "a", "https://a.example/p",
+         "T1", {"k": "v"}, b"c1", "<p>x</p>", 10,
+         dt.datetime(2024, 1, 1)),
+        (b"\x02" * 12, "https://a.example/p", "a", "https://a.example/p",
+         "T2", {"k": "v"}, b"c2", "<p>y</p>", 11,
+         dt.datetime(2024, 1, 2)),
+        (b"\x03" * 12, "https://b.example/p", "b", "https://b.example/p",
+         None, None, None, None, None, dt.datetime(2024, 1, 3)),
+    ]
+    results = spark.createDataFrame(
+        rows,
+        "id binary, url string, src string, url_canon string, title string,"
+        "meta map<string,string>, content binary, html string,"
+        "page_len long, fetched_ts timestamp",
+    )
+    basic = docstore.lookup_by_id(results, b"\x01" * 12, "basic")
+    assert basic.columns == ["id", "url", "src", "title", "meta"]
+    assert basic.count() == 1
+    full = docstore.lookup_by_id(results, b"\x02" * 12, "full").collect()[0]
+    assert full.page_len == 11
+    with pytest.raises(ValueError):
+        docstore.select_output(results, "nope")
+
+    latest = docstore.find_latest(results, "https://a.example/p").collect()
+    assert len(latest) == 1 and latest[0].title == "T2"  # newest id wins
+    # untitled url → no row (reference returns null doc)
+    assert docstore.find_latest(results, "https://b.example/p").count() == 0
+
+    per_url = docstore.latest_per_url(results).toPandas()
+    assert len(per_url) == 1 and per_url.iloc[0].title == "T2"
