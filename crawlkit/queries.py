@@ -418,6 +418,44 @@ def f_date_bucket(spark, sf_dir):
     )
 
 
+def _langdim_sql() -> str:
+    """Oracle twin of langdim.normalize_lang + is_rtl over documents:
+    the dim's four lowercased name forms inlined as VALUES."""
+    from .langdim import LANGUAGES, RTL_CODES_3
+
+    rows = []
+    for iso1, iso3, english, native in LANGUAGES:
+        for form in {iso1.lower(), iso3.lower(), english.lower(), native.lower()}:
+            rows.append(f"('{form}', '{iso3}')")
+    values = ", ".join(sorted(rows))
+    rtl = ", ".join(f"'{c}'" for c in RTL_CODES_3)
+    return f"""
+WITH forms AS (
+  SELECT form, MIN(iso3) AS iso639_3
+  FROM (VALUES {values}) v(form, iso3) GROUP BY form
+)
+SELECT m.iso639_3 AS lang3,
+       coalesce(m.iso639_3 IN ({rtl}), FALSE) AS rtl,
+       COUNT(*)::BIGINT AS n_docs
+FROM documents d LEFT JOIN forms m ON lower(trim(d.lang)) = m.form
+GROUP BY 1, 2
+"""
+
+
+@q("j3_lang_normalize", _langdim_sql())
+def j3_lang_normalize(spark, sf_dir):
+    """J3/J4: language-code normalization via the broadcast ISO-639 dim
+    (lang.ts:3-17) + RTL membership (lang.ts:19-32)."""
+    from .langdim import is_rtl, normalize_lang
+
+    d = normalize_lang(t(spark, sf_dir, "documents"))
+    return (
+        d.withColumn("rtl", F.coalesce(is_rtl("lang3"), F.lit(False)))
+        .groupBy("lang3", "rtl")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # =====================================================================
 # corpus pipeline: text analysis
 # =====================================================================

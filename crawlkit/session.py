@@ -38,7 +38,9 @@ def get_spark(
         # pages stays well under executor memory.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("CRAWLKIT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap — size it for
+        # wide cached frames (html/cbor columns) at full task concurrency
+        .config("spark.driver.memory", os.environ.get("CRAWLKIT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
