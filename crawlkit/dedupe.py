@@ -227,8 +227,11 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("did"),
                 shingles_udf(shingle_n)(F.col(text_col)).alias("sh"))
         .where(F.size("sh") > 0)
-        # referenced 3x in the DAG (bands, sh_a, sh_b): materialize once
-        .persist()
+        # Referenced 3x in the DAG (bands, sh_a, sh_b): materialize
+        # once.  localCheckpoint (not persist): the block is freed by
+        # the ContextCleaner when the plan is unreferenced, so repeated
+        # operator calls in one session can't accumulate cache entries.
+        .localCheckpoint(eager=False)
     )
     # Narrow band rows only — the expensive md5-per-shingle pass runs
     # once per doc; the self-join shuffles (did, band_id, band_key)
@@ -337,7 +340,7 @@ def ngram_jaccard_pairs(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("did"),
         shingles_udf(shingle_n)(F.col(text_col)).alias("sh"),
-    ).where(F.size("sh") > 0).persist()
+    ).where(F.size("sh") > 0).localCheckpoint(eager=False)
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
