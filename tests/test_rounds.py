@@ -162,15 +162,15 @@ def test_uncommitted_round_is_invisible(spark, pages, synth_cfg, tmp_warehouse):
 
 def test_partition_count_invariance(spark, pages, synth_cfg, tmp_path_factory):
     """north_rule cluster-size invariant: same ordering & seen set at
-    shuffle.partitions = 1 vs 8."""
+    shuffle.partitions ∈ {1, 8, 32}."""
     orig = spark.conf.get("spark.sql.shuffle.partitions")
+    orders = []
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "1")
-        d1 = str(tmp_path_factory.mktemp("wh-p1"))
-        _crawl(spark, pages, synth_cfg, d1, max_rounds=2)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        d8 = str(tmp_path_factory.mktemp("wh-p8"))
-        _crawl(spark, pages, synth_cfg, d8, max_rounds=2)
+        for p in (1, 8, 32):
+            spark.conf.set("spark.sql.shuffle.partitions", str(p))
+            d = str(tmp_path_factory.mktemp(f"wh-p{p}"))
+            _crawl(spark, pages, synth_cfg, d, max_rounds=2)
+            orders.append(_fetch_order(spark, d))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
-    assert _fetch_order(spark, d1) == _fetch_order(spark, d8)
+    assert orders[0] == orders[1] == orders[2]
