@@ -10,7 +10,7 @@ reports pages/s — the north-star metric's sandbox-scale proxy.
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-  BENCH_CRAWL_PAGES    synthetic crawl corpus size (default 2000)
+  BENCH_CRAWL_PAGES    synthetic crawl corpus size (default 10000)
   BENCH_SKIP_CRAWL     set to skip the crawl benchmark
 """
 
@@ -82,8 +82,9 @@ def main() -> None:
         n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "10000"))
         scfg = SynthConfig(n_pages=n_pages, n_hosts=100, n_seeds=10,
                            fanout=4, body_paras=(150, 250))
-        pages = synth_pages(spark, scfg).persist()
-        pages.count()
+        corpus_dir = tempfile.mkdtemp(prefix="crawlkit-bench-corpus-")
+        synth_pages(spark, scfg).write.mode("overwrite").parquet(corpus_dir)
+        pages = spark.read.parquet(corpus_dir)  # realistic scan path
         seeds = pages.select("url", F.lit(0).alias("depth"),
                              F.col("warc_ts").alias("discovered_ts"))
         robots = robots_df(spark, scfg).withColumn(
@@ -102,8 +103,8 @@ def main() -> None:
             "pages_per_sec_per_core": round(fetched / crawl_s / cpus, 2),
             "cpus": cpus,
         }
-        pages.unpersist()
         shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {
