@@ -418,6 +418,53 @@ def f_date_bucket(spark, sf_dir):
     )
 
 
+@q("w4_tumbling_window", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+  COUNT(*)::BIGINT AS n,
+  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def w4_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window rollup (1-day buckets): the windowed
+    aggregation shape of a metrics/lineage pipeline."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dec_sum(F.col("value"), "sum_value"))
+        .select(F.col("w.start").alias("day"), "event_type", "n", "sum_value")
+    )
+
+
+@q("text_top_bigrams", """
+SELECT bigram, COUNT(*)::BIGINT AS n FROM (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents) WHERE len(toks) >= 2)
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50
+""")
+def text_top_bigrams(spark, sf_dir):
+    """Corpus-wide n-gram frequency top-k (vocabulary analysis shape):
+    explode bigrams → count → deterministic top-50."""
+    toks = textops.tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
 def _langdim_sql() -> str:
     """Oracle twin of langdim.normalize_lang + is_rtl over documents:
     the dim's four lowercased name forms inlined as VALUES."""
