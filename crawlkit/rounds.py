@@ -301,14 +301,31 @@ def run_round(
     metrics["new_seen"] = new_seen.count()
     metrics["frontier_delta"] = frontier_delta.count()
     tick("counts")
-    metrics_rows = [
-        (round_no, stage, None, int(v), None) for stage, v in metrics.items()
-    ]
-    wh.write(
-        spark.createDataFrame(metrics_rows, schema.METRICS_SCHEMA),
-        "metrics",
-        round_no,
+    # Per-partition lineage for the extraction stage (north_rule
+    # "resumable ... with per-partition lineage + metrics"): one row
+    # per physical partition of the fetch+extract output, so an
+    # operator can localize data-quality or straggler issues.
+    stage_rows = spark.createDataFrame(
+        [(round_no, None, stage, None, int(v), None)
+         for stage, v in metrics.items()],
+        schema.METRICS_SCHEMA,
     )
+    part_rows = (
+        extracted.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("rows_out"),
+        )
+        .select(
+            F.lit(round_no).cast("int").alias("round"),
+            F.col("partition_id").cast("int"),
+            F.lit("extract_partition").alias("stage"),
+            F.col("rows_in").cast("long"),
+            F.col("rows_out").cast("long"),
+            F.lit(None).cast("long").alias("elapsed_ms"),
+        )
+    )
+    wh.write(stage_rows.unionByName(part_rows), "metrics", round_no)
     # Commit keys are TABLE names (the manifest is what readers prune on).
     wh.commit_round(
         round_no,
@@ -317,7 +334,7 @@ def run_round(
             "urlseen_exact": metrics["new_seen"],
             "urlseen_bloom": metrics["new_seen"],
             "frontier": metrics["frontier_delta"],
-            "metrics": len(metrics_rows),
+            "metrics": len(metrics),
         },
     )
     for df in (queued, new_cand, selected, deferred, extracted, new_seen,

@@ -91,6 +91,7 @@ HOSTBUDGET_SCHEMA = T.StructType(
 METRICS_SCHEMA = T.StructType(
     [
         T.StructField("round", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), True),
         T.StructField("stage", T.StringType(), False),
         T.StructField("rows_in", T.LongType(), True),
         T.StructField("rows_out", T.LongType(), True),

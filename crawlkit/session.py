@@ -42,7 +42,10 @@ def get_spark(
         # split holds few rows but hours of Python-kernel work; 32 MB
         # splits keep every core fed without an explicit repartition
         # (spread() then passes through — no shuffle of page bytes).
-        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("CRAWLKIT_MAX_PARTITION_BYTES", "33554432"),
+        )
         # local mode: the driver heap IS the executor heap — size it for
         # wide cached frames (html/cbor columns) at full task concurrency
         .config("spark.driver.memory", os.environ.get("CRAWLKIT_DRIVER_MEM", "48g"))

@@ -49,6 +49,19 @@ def generate_corpus(n_pages: int, out_dir: str) -> None:
     spark.stop()
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — measured around each
+    run because this sandbox is a shared VM: steal is ~0 when idle but
+    has been observed >35% under load, which caps multi-core scaling
+    regardless of code.  Reported so efficiency numbers carry their
+    contention context."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_at(cores: int, n_pages: int, corpus_dir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -72,29 +85,49 @@ def run_at(cores: int, n_pages: int, corpus_dir: str) -> dict:
 
     wh = tempfile.mkdtemp(prefix=f"crawlkit-scale{cores}-")
     cfg = CrawlConfig(warehouse=wh, round_duration_ms=600_000)
+    s0, t0ticks = _cpu_ticks()
     t0 = time.perf_counter()
     metrics = run_crawl(spark, cfg, pages, seeds, robots, max_rounds=1)
     dt = time.perf_counter() - t0
+    s1, t1ticks = _cpu_ticks()
+    steal_pct = round(100.0 * (s1 - s0) / max(t1ticks - t0ticks, 1), 1)
     fetched = sum(m.get("selected", 0) for m in metrics)
     shutil.rmtree(wh, ignore_errors=True)
     spark.stop()
     return {"cores": cores, "fetched": fetched, "seconds": round(dt, 2),
-            "pages_per_sec": round(fetched / dt, 2)}
+            "pages_per_sec": round(fetched / dt, 2),
+            "host_steal_pct": steal_pct}
 
 
 def main() -> None:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     corpus_dir = tempfile.mkdtemp(prefix="crawlkit-scale-corpus-") + "/pages"
     generate_corpus(n_pages, corpus_dir)
-    small = run_at(n_small, n_pages, corpus_dir)
-    big = run_at(n_small * 4, n_pages, corpus_dir)
+    # Interleave fresh sessions (N, 4N, N, 4N, ...): each rep is an
+    # independent cold app, so machine-level drift (page cache, VM
+    # noise) hits both sizes alike; efficiency is computed per adjacent
+    # pair and as best-vs-best.
+    smalls, bigs = [], []
+    for _ in range(reps):
+        smalls.append(run_at(n_small, n_pages, corpus_dir))
+        bigs.append(run_at(n_small * 4, n_pages, corpus_dir))
     shutil.rmtree(str(Path(corpus_dir).parent), ignore_errors=True)
-    eff = round(big["pages_per_sec"] / small["pages_per_sec"] / 4, 3)
+    best_small = max(smalls, key=lambda r: r["pages_per_sec"])
+    best_big = max(bigs, key=lambda r: r["pages_per_sec"])
+    pair_effs = [
+        round(b["pages_per_sec"] / s["pages_per_sec"] / 4, 3)
+        for s, b in zip(smalls, bigs)
+    ]
+    eff = round(best_big["pages_per_sec"] / best_small["pages_per_sec"] / 4, 3)
     print(json.dumps({
         "n_pages": n_pages,
-        "small": small,
-        "big": big,
+        "small": best_small,
+        "big": best_big,
+        "small_runs": [r["seconds"] for r in smalls],
+        "big_runs": [r["seconds"] for r in bigs],
+        "pair_efficiencies": pair_effs,
         "scaling_efficiency_Nto4N": eff,
     }))
 
