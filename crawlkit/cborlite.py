@@ -19,26 +19,51 @@ from __future__ import annotations
 import struct
 
 
-def _encode_head(major: int, value: int, out: list[bytes]) -> None:
+def _encode_head(major: int, value: int, out: bytearray) -> None:
     if value < 24:
-        out.append(bytes([(major << 5) | value]))
+        out.append((major << 5) | value)
     elif value < 0x100:
-        out.append(bytes([(major << 5) | 24, value]))
+        out.append((major << 5) | 24)
+        out.append(value)
     elif value < 0x10000:
-        out.append(bytes([(major << 5) | 25]) + value.to_bytes(2, "big"))
+        out.append((major << 5) | 25)
+        out += value.to_bytes(2, "big")
     elif value < 0x100000000:
-        out.append(bytes([(major << 5) | 26]) + value.to_bytes(4, "big"))
+        out.append((major << 5) | 26)
+        out += value.to_bytes(4, "big")
     else:
-        out.append(bytes([(major << 5) | 27]) + value.to_bytes(8, "big"))
+        out.append((major << 5) | 27)
+        out += value.to_bytes(8, "big")
 
 
-def _encode_item(obj: object, out: list[bytes]) -> None:
-    if obj is None:
-        out.append(b"\xf6")
+def _encode_item(obj: object, out: bytearray) -> None:
+    # hot path first: the doc tree is dicts/lists/strings
+    t = type(obj)
+    if t is str:
+        data = obj.encode("utf-8")
+        _encode_head(3, len(data), out)
+        out += data
+    elif t is dict:
+        entries = []
+        for key, value in obj.items():
+            kout = bytearray()
+            _encode_item(key, kout)
+            entries.append((bytes(kout), value))
+        entries.sort(key=lambda kv: kv[0])
+        _encode_head(5, len(entries), out)
+        for kbytes, value in entries:
+            out += kbytes
+            _encode_item(value, out)
+    elif t is list or t is tuple:
+        _encode_head(4, len(obj), out)
+        for item in obj:
+            _encode_item(item, out)
+    elif obj is None:
+        out.append(0xF6)
     elif obj is True:
-        out.append(b"\xf5")
+        out.append(0xF5)
     elif obj is False:
-        out.append(b"\xf4")
+        out.append(0xF4)
     elif isinstance(obj, int):
         if obj >= 0:
             _encode_head(0, obj, out)
@@ -46,37 +71,29 @@ def _encode_item(obj: object, out: list[bytes]) -> None:
             _encode_head(1, -1 - obj, out)
     elif isinstance(obj, float):
         # deterministic: always encode float64 (RFC 8949 allows fixed width)
-        out.append(b"\xfb" + struct.pack(">d", obj))
+        out.append(0xFB)
+        out += struct.pack(">d", obj)
     elif isinstance(obj, bytes):
         _encode_head(2, len(obj), out)
-        out.append(obj)
-    elif isinstance(obj, str):
+        out += obj
+    elif isinstance(obj, str):  # str subclass
         data = obj.encode("utf-8")
         _encode_head(3, len(data), out)
-        out.append(data)
+        out += data
     elif isinstance(obj, (list, tuple)):
         _encode_head(4, len(obj), out)
         for item in obj:
             _encode_item(item, out)
     elif isinstance(obj, dict):
-        entries = []
-        for key, value in obj.items():
-            kout: list[bytes] = []
-            _encode_item(key, kout)
-            entries.append((b"".join(kout), value))
-        entries.sort(key=lambda kv: kv[0])
-        _encode_head(5, len(entries), out)
-        for kbytes, value in entries:
-            out.append(kbytes)
-            _encode_item(value, out)
+        _encode_item(dict(obj), out)
     else:
         raise TypeError(f"cannot CBOR-encode {type(obj).__name__}")
 
 
 def dumps(obj: object) -> bytes:
-    out: list[bytes] = []
+    out = bytearray()
     _encode_item(obj, out)
-    return b"".join(out)
+    return bytes(out)
 
 
 class _Decoder:

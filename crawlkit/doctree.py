@@ -384,6 +384,13 @@ def html_to_doc(html: str) -> dict:
     return _DocBuilder().build(parse_html(html))
 
 
+def element_to_doc(el) -> dict:
+    """X6 over an already-parsed element: equivalent to
+    ``html_to_doc(inner_html(el))`` (serializer/parser roundtrip is
+    identity) without the serialize + re-parse pass."""
+    return _DocBuilder().build(el)
+
+
 # ---------------------------------------------------------------------------
 # X7: amendment (reference JSONDocumentAmender, src/tiptap.ts:115-188)
 # ---------------------------------------------------------------------------

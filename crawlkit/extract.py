@@ -32,6 +32,7 @@ from .doctree import (
     amend_node,
     doc_to_html,
     doc_to_text,
+    element_to_doc,
     html_to_doc,
 )
 from .htmlkit import (
@@ -138,8 +139,13 @@ def extract_document(html: str, url: str, src: str | None = None) -> Extracted:
     region = _climb_content_region(title_els, title)
     content_html = inner_html(region[0]) if region else ""
 
-    # X6+X7: region HTML → amended node tree (deterministic ids from url)
-    doc = html_to_doc(content_html)
+    # X6+X7: region → amended node tree (deterministic ids from url).
+    # Built directly from the already-parsed region element — our
+    # serializer/parser roundtrip is identity, so this equals
+    # html_to_doc(content_html) (golden-pinned) without re-parsing.
+    doc = (
+        element_to_doc(region[0]) if region else {"type": "doc", "content": []}
+    )
     amend_node(doc, DeterministicIds(url))
 
     # X8/X9 + pinned text

@@ -92,12 +92,124 @@ def _extract_partition(
         yield pd.DataFrame(out, columns=cols)
 
 
-def fetch_extract(selected: DataFrame, pages: DataFrame) -> DataFrame:
-    """Join selected frontier rows to pages ("fetch") and extract.
+from pyspark.sql import types as T
 
-    ``selected`` must carry url/url_canon/url_hash/host/depth.  Missing
-    pages (dead links) surface as status='fetch_failed' (S5 → retry).
+# What the round pipeline actually needs back from extraction when the
+# wide results are written in-task: link-growth and status bookkeeping.
+NARROW_EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_canon", T.StringType(), True),
+        T.StructField("url_hash", T.LongType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("links", T.ArrayType(T.StringType()), True),
+        T.StructField("depth", T.IntegerType(), False),
+    ]
+)
+
+
+def _results_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("id", pa.binary()),
+            ("url", pa.string()),
+            ("url_canon", pa.string()),
+            ("url_hash", pa.int64()),
+            ("host", pa.string()),
+            ("src", pa.string()),
+            ("title", pa.string()),
+            ("meta", pa.map_(pa.string(), pa.string())),
+            ("content", pa.binary()),
+            ("html", pa.string()),
+            ("page_len", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("status", pa.string()),
+            ("depth", pa.int32()),
+            ("fetched_ts", pa.timestamp("us", tz="UTC")),
+            ("round", pa.int32()),
+        ]
+    )
+
+
+def fetch_extract_write(
+    selected: DataFrame,
+    pages: DataFrame,
+    results_dir: str,
+    round_no: int,
+    fetched_ts,
+) -> DataFrame:
+    """Fetch-join + extraction that writes the WIDE results shard
+    directly from each task via pyarrow and emits only NARROW rows.
+
+    Why: the wide columns (region html, CBOR content, text — ~60-80 KB
+    per page) otherwise cross the Arrow pipe back into the JVM, get
+    cached columnar, and get re-read for the parquet write — three
+    full passes of multi-GB data per round.  Writing zstd parquet
+    in-task keeps the wide bytes in one pass; Spark only ever shuffles
+    the narrow link/status columns.
+
+    Idempotence: one file per task, named by partition id — a retried
+    task overwrites its own shard (speculative execution must stay
+    off, the default).  Visibility is still gated by the round
+    manifest commit (storage.py), so a failed round leaves only
+    invisible orphans, exactly like any staged write.
     """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    narrow_cols = [f.name for f in NARROW_EXTRACTED_SCHEMA.fields]
+    os.makedirs(results_dir, exist_ok=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wide: list[dict] = []
+        for pdf in _extract_partition(batches):
+            ok = pdf[pdf["status"] == "ok"]
+            for row in ok.itertuples(index=False):
+                wide.append(
+                    {
+                        "id": make_doc_id(row.url_canon, fetched_ts),
+                        "url": row.url,
+                        "url_canon": row.url_canon,
+                        "url_hash": row.url_hash,
+                        "host": row.host,
+                        "src": row.src,
+                        "title": row.title,
+                        "meta": list((row.meta or {}).items()),
+                        "content": row.content,
+                        "html": row.html,
+                        "page_len": row.page_len,
+                        "text": row.text,
+                        "lang": row.lang,
+                        "status": row.status,
+                        "depth": row.depth,
+                        "fetched_ts": fetched_ts,
+                        "round": round_no,
+                    }
+                )
+            yield pdf[narrow_cols]
+        if wide:
+            schema = _results_arrow_schema()
+            table = pa.Table.from_pylist(wide, schema=schema)
+            pid = TaskContext.get().partitionId()
+            pq.write_table(
+                table,
+                os.path.join(results_dir, f"part-{pid:05d}.parquet"),
+                compression="zstd",
+            )
+
+    return _join_pages(selected, pages).mapInPandas(run, NARROW_EXTRACTED_SCHEMA)
+
+
+def _join_pages(selected: DataFrame, pages: DataFrame) -> DataFrame:
+    """The J8 fetch join: selected frontier keys against the pages
+    table; output rebalanced for the CPU-bound extraction stage."""
     narrow = selected.select(
         F.col("url").alias("src"), "url_canon", "url_hash", "host", "depth"
     )
@@ -116,4 +228,19 @@ def fetch_extract(selected: DataFrame, pages: DataFrame) -> DataFrame:
     # scale the scan has plenty of splits and this is a no-op.
     from .dedupe import spread
 
-    return spread(joined).mapInPandas(_extract_partition, EXTRACTED_SCHEMA)
+    return spread(joined)
+
+
+def fetch_extract(selected: DataFrame, pages: DataFrame) -> DataFrame:
+    """Join selected frontier rows to pages ("fetch") and extract,
+    returning the full wide extraction frame.
+
+    ``selected`` must carry url/url_canon/url_hash/host/depth.  Missing
+    pages (dead links) surface as status='fetch_failed' (S5 → retry).
+    The round pipeline uses :func:`fetch_extract_write` instead (wide
+    results written in-task); this variant remains the simple surface
+    for tests and ad-hoc use.
+    """
+    return _join_pages(selected, pages).mapInPandas(
+        _extract_partition, EXTRACTED_SCHEMA
+    )

@@ -26,11 +26,10 @@ import time
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import schema
-from .fetch import fetch_extract, make_doc_id
+from .fetch import fetch_extract_write
 from .politeness import apply_politeness
 from .sparkfns import with_url_identity
 from .storage import Warehouse
@@ -213,22 +212,18 @@ def run_round(
     metrics["selected"] = selected.count()
     tick("probe+politeness+selected.count")
 
-    # J8 + X1-X10 fetch & extract
-    extracted = fetch_extract(selected, pages).persist()
-
-    now = cfg.now
-
-    @F.pandas_udf(T.BinaryType())
-    def doc_id_udf(url_canon: pd.Series) -> pd.Series:
-        return url_canon.map(lambda u: make_doc_id(u, now))
+    # J8 + X1-X10 fetch & extract.  The wide results (CBOR content,
+    # region html, text) are written to the round's results shard
+    # directly inside the extraction tasks (fetch.fetch_extract_write)
+    # — one pass for the multi-GB columns; only the narrow link/status
+    # frame comes back through Arrow and is persisted for the
+    # downstream joins.
+    extracted = fetch_extract_write(
+        selected, pages, str(wh.round_path("results", round_no)),
+        round_no, cfg.now,
+    ).persist()
 
     ok = extracted.where(F.col("status") == "ok")
-    results_new = (
-        ok.withColumn("id", doc_id_udf(F.col("url_canon")))
-        .withColumn("fetched_ts", F.lit(cfg.now))
-        .withColumn("round", F.lit(round_no).cast("int"))
-        .select([f.name for f in schema.RESULTS_SCHEMA.fields])
-    )
 
     # Terminal outcomes (ok / not_found / too_large) enter the seen set;
     # fetch failures do NOT (S5: lock released so retries can happen).
@@ -288,7 +283,9 @@ def run_round(
     )
 
     # -- persist + atomic commit (T6) ------------------------------------
-    wh.write(results_new, "results", round_no)
+    # Materializing the narrow frame runs extraction AND the in-task
+    # wide results-shard writes in one pass.
+    metrics["results"] = ok.count()
     tick("extract+results.write")
     wh.write(new_seen, "urlseen_exact", round_no)
     tick("exact.write")
@@ -297,7 +294,6 @@ def run_round(
     wh.write(frontier_delta, "frontier", round_no)
     tick("frontier.write")
 
-    metrics["results"] = results_new.count()
     metrics["new_seen"] = new_seen.count()
     metrics["frontier_delta"] = frontier_delta.count()
     tick("counts")

@@ -67,6 +67,12 @@ class Warehouse:
     def _round_dir(self, table: str, round_no: int) -> Path:
         return self.root / table / f"round={round_no}"
 
+    def round_path(self, table: str, round_no: int) -> Path:
+        """Staging path for a round's data — written by the engine
+        (including in-task pyarrow shard writers), invisible to readers
+        until commit_round publishes it in the manifest."""
+        return self._round_dir(table, round_no)
+
     def write(self, df: DataFrame, table: str, round_no: int) -> None:
         """Stage a round's data (not visible until commit_round)."""
         df.write.mode("overwrite").parquet(str(self._round_dir(table, round_no)))
