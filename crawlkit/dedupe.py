@@ -38,17 +38,91 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 from .textops import md5i60, tokens
 
 
+def _size_suffix_bytes(v: str) -> int:
+    """Parse Spark size confs like '134217728b' / '128m' to bytes."""
+    v = v.strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suf):
+            v, mult = v[: -len(suf)], m
+            break
+    return int(v) * mult
+
+
+def estimated_scan_splits(df: DataFrame) -> int | None:
+    """Driver-side estimate of the file-scan partition count, without
+    touching ``df.rdd`` (which would pin a non-AQE plan and can force
+    upstream materialization on joined frames).  Mirrors Spark's public
+    split math (``FilePartition.maxSplitBytes``): splitsize =
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism)).
+    Returns None for non-file sources (in-memory frames)."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("file", ""):
+            return None  # remote FS — don't guess, let the scan decide
+        try:
+            sizes.append(os.path.getsize(p.path))
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    open_cost = _size_suffix_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    max_pb = _size_suffix_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    total = sum(s + open_cost for s in sizes)
+    split = min(max_pb, max(open_cost, total // max(parallelism, 1)))
+    return max(1, -(-total // max(split, 1)))
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Rebalance ONLY under-parallel inputs before expensive per-row
     compute.  Small parquet inputs arrive as one split (file <
     maxPartitionBytes), which would serialize hash/signature work onto
-    a single core.  Inputs that already have >= session parallelism
-    (the cluster-scale case) pass through untouched — repartitioning a
-    100 TB scan would be a catastrophic shuffle."""
+    a single core.  Inputs whose scans already have >= session
+    parallelism splits (the cluster-scale case) pass through untouched
+    — repartitioning a 100 TB scan would be a catastrophic shuffle.
+    The split count is *estimated* driver-side from the input file
+    sizes (no ``.rdd`` materialization; None → tiny in-memory frame,
+    repartitioning is cheap and safe)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    est = estimated_scan_splits(df)
+    if est is not None and est >= target:
         return df
     return df.repartition(target)
+
+
+def assert_block_sizes(
+    df: DataFrame, block_col: str, max_block_rows: int, hint: str = ""
+) -> None:
+    """Guard for quadratic-within-block operators: fail fast (one cheap
+    narrow count-agg, nothing wide materialized) if any block exceeds
+    the cap, instead of scheduling an O(n²)-pair join.  A corpus where
+    one language holds 10⁹ docs must route to the LSH path, never
+    silently run block² pairs."""
+    over = (
+        df.groupBy(block_col)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_block_rows)
+        .select(block_col, "n")
+        .limit(3)
+        .collect()
+    )
+    if over:
+        desc = ", ".join(f"{r[0]!r}:{r[1]}" for r in over)
+        raise ValueError(
+            f"quadratic fallback refused: block(s) over {max_block_rows} "
+            f"rows ({desc}); use the LSH scale path instead"
+            + (f" — {hint}" if hint else "")
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -216,10 +290,18 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_rows: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidate generation + exact-Jaccard
     verification.  Output: (id_a, id_b, jacc) with id_a < id_b and
     jacc >= threshold (rounded to 4 so the oracle compares exactly).
+
+    Degenerate boilerplate buckets (a band_key shared by more than
+    ``max_bucket_rows`` docs — identical nav chrome, parked domains)
+    are dropped before pair generation: a 10⁶-doc bucket would emit
+    5·10¹¹ candidate pairs from one band.  True near-dups inside a
+    dropped bucket usually still pair via their other B-1 bands; the
+    cap is mirrored in the DuckDB oracle so the check stays exact.
     """
     rows = k // bands
     docs = (
@@ -244,15 +326,19 @@ def minhash_lsh_pairs(
         .select("did", F.col("b.band_id").alias("band_id"),
                 F.col("b.band_key").alias("band_key"))
     )
-    left, right = band_rows.alias("l"), band_rows.alias("r")
+    # Bucket-grouped pair generation: ONE shuffle (groupBy bucket) in
+    # place of the former band-rows self-join (two sorted shuffles of
+    # the same rows).  collect_list is bounded by max_bucket_rows, and
+    # singleton buckets never leave the aggregation.
+    buckets = (
+        band_rows.groupBy("band_id", "band_key")
+        .agg(F.collect_list("did").alias("dids"))
+        .where((F.size("dids") >= 2) & (F.size("dids") <= max_bucket_rows))
+    )
     cand = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.did") < F.col("r.did")),
-        )
-        .select(F.col("l.did").alias("id_a"), F.col("r.did").alias("id_b"))
+        buckets.select(F.explode("dids").alias("id_a"), "dids")
+        .select("id_a", F.explode("dids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     sh_a = docs.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -332,10 +418,14 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.12,
+    max_block_rows: int = 10_000,
 ) -> DataFrame:
     """All pairs within a block with shingle-Jaccard >= threshold.
-    Only safe when blocks are small; the scale path is
+    Only safe when blocks are small — guarded by ``max_block_rows``
+    (raises before the O(n²) join is scheduled); the scale path is
     :func:`minhash_lsh_pairs`."""
+    assert_block_sizes(df, block_col, max_block_rows,
+                       hint="use minhash_lsh_pairs for large corpora")
     base = spread(df).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("did"),

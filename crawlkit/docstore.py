@@ -41,10 +41,15 @@ def lookup_by_id(results: DataFrame, doc_id: bytes,
 
 
 def find_latest(results: DataFrame, url_canon: str) -> DataFrame:
-    """S2+A1: candidates for one url (LIMIT 100), newest id first,
-    first titled row — the reference's freshness-probe read."""
+    """S2+A1: candidates for one url — newest-first byte-comparable id
+    order, LIMIT 100 fan-out cap, first titled row — the reference's
+    freshness-probe read (``src/db/model.ts:161-191``, which scans the
+    id-clustered partition newest-first *before* its LIMIT 100).  The
+    order-then-limit sequence matters: limiting an unordered scan would
+    make the surviving candidate subset depend on partition order."""
     cand = (
         results.where(F.col("url_canon") == url_canon)
+        .orderBy(F.col("id").desc())
         .limit(100)
         .where(F.col("title").isNotNull() & (F.col("title") != ""))
     )

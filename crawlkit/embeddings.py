@@ -15,10 +15,13 @@ All arithmetic is double-precision and built-in (``zip_with`` +
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import hashlib
 
-from .dedupe import spread
-from .textops import md5i60
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .dedupe import assert_block_sizes, spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -63,34 +66,56 @@ def ann_topk(
     )
 
 
-def hyperplane_weight(plane: Column, dim: Column) -> Column:
-    """Deterministic pseudo-random weight in [-1, 1): md5-derived, so
-    both engines generate identical planes."""
-    h = md5i60(F.concat(plane.cast("string"), F.lit(","), dim.cast("string")))
-    return h / F.lit(float(2**59)) - 1.0
+def hyperplane_matrix(n_planes: int, n_dims: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1):
+    w[p, d] = md5i60(f"{p},{d}") / 2^59 - 1.0.  md5-derived so the
+    DuckDB oracle generates identical planes; the weights depend only
+    on (plane, dim), so they are computed ONCE driver/worker-side —
+    never per row (the per-row md5 recompute was planes×dims md5s per
+    vector in interpreted HOF evaluation)."""
+    w = np.empty((n_planes, n_dims), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(n_dims):
+            h = int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15], 16)
+            w[p, d] = h / float(2**59) - 1.0
+    return w
+
+
+def lsh_signature_udf(n_planes: int = 8):
+    """Arrow-vectorized P-bit sign signature (BIGINT bucket id).
+
+    Bit-identical to the spec fold (and the DuckDB oracle twin): the
+    products are float64(vec[d]) * w[p, d] and the per-plane dot is
+    accumulated in SEQUENTIAL dim order (np.cumsum — a running sum),
+    matching DuckDB's list_sum fold rounding exactly; the sign cut is
+    then made on identical doubles.  Weight matrices are cached per
+    vector length."""
+    cache: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf(T.LongType())
+    def udf(vecs: pd.Series) -> pd.Series:
+        bit = np.arange(n_planes, dtype=np.int64)
+
+        def sig_of(v) -> int | None:
+            if v is None:
+                return None
+            x = np.asarray(v, dtype=np.float64)
+            w = cache.get(x.size)
+            if w is None:
+                w = cache[x.size] = hyperplane_matrix(n_planes, x.size)
+            if x.size == 0:
+                return 0
+            dots = np.cumsum(w * x[None, :], axis=1)[:, -1]
+            return int((((dots > 0).astype(np.int64)) << bit).sum())
+
+        return vecs.map(sig_of)
+
+    return udf
 
 
 def lsh_signature(vec_col: Column, n_planes: int = 8) -> Column:
-    """P-bit sign signature as a BIGINT bucket id."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc
-        + F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.sequence(F.lit(0), F.size(vec_col) - 1),
-                    lambda x, d: x.cast("double") * hyperplane_weight(p, d),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            > 0,
-            # 2^p as exact long (shiftleft needs a literal bit count)
-            F.pow(F.lit(2.0), p.cast("double")).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    """P-bit sign signature as a BIGINT bucket id (vectorized UDF)."""
+    return lsh_signature_udf(n_planes)(vec_col)
 
 
 def lsh_buckets(
@@ -154,10 +179,18 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) within a
-    blocking key; the quadratic-within-block fallback, LSH-bucketed for
-    scale via :func:`lsh_signature` as the block instead."""
+    blocking key — the quadratic-within-block fallback.  Guarded: any
+    block larger than ``max_block_rows`` raises before the O(n²) join
+    can be scheduled (a single 10⁹-row block would be a 10¹⁸-pair
+    join); at that size use :func:`lsh_signature` buckets as the
+    blocking key instead."""
+    assert_block_sizes(
+        df, block_col, max_block_rows,
+        hint="use lsh_signature(embedding) buckets as block_col",
+    )
     base = spread(df).select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),

@@ -154,17 +154,32 @@ def fetch_extract_write(
 
     Idempotence: one file per task, named by partition id — a retried
     task overwrites its own shard (speculative execution must stay
-    off, the default).  Visibility is still gated by the round
-    manifest commit (storage.py), so a failed round leaves only
-    invisible orphans, exactly like any staged write.
+    off, the default — asserted below, because a speculative twin
+    racing the original on the same filename could tear a shard).
+    Visibility is still gated by the round manifest commit
+    (storage.py), so a failed round leaves only invisible orphans,
+    exactly like any staged write.  The staging dir is wiped on entry:
+    a crash-resumed round re-executes with a possibly different task
+    layout (core count, AQE coalescing), and orphan ``part-*`` shards
+    from the failed attempt must not leak into the committed round.
     """
     import os
+    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark import TaskContext
 
+    if (
+        selected.sparkSession.conf.get("spark.speculation", "false").lower()
+        == "true"
+    ):
+        raise RuntimeError(
+            "fetch_extract_write writes one shard per task id and is not "
+            "safe under speculative execution; set spark.speculation=false"
+        )
     narrow_cols = [f.name for f in NARROW_EXTRACTED_SCHEMA.fields]
+    shutil.rmtree(results_dir, ignore_errors=True)
     os.makedirs(results_dir, exist_ok=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -509,7 +509,9 @@ def j3_lang_normalize(spark, sf_dir):
 
 @q("text_token_stats", """
 SELECT lang, COUNT(*)::BIGINT AS n_docs,
-  round(CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*), 2) AS avg_tokens,
+  round(CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS DOUBLE)
+        / COUNT(*), 2) AS avg_tokens,
   round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
 FROM documents GROUP BY lang
 """)
@@ -531,7 +533,8 @@ SELECT doc_id,
   round(len(list_filter(toks, x -> x IN ('a','the','of','and','in','to','is','for')))::DOUBLE
         / len(toks), 3) AS stop_ratio,
   round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 3) AS avg_tok_len
-FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE trim(text) <> '')
 WHERE len(toks) > 0
 """)
 def text_quality(spark, sf_dir):
@@ -631,10 +634,15 @@ WITH base AS (
     md5(array_to_string(list_transform(
       sig[b.band_id*2+1 : b.band_id*2+2], v -> v::VARCHAR), ',')) AS band_key
   FROM sig, (SELECT range AS band_id FROM range(0, 8)) b
+), bands_c AS (
+  SELECT did, band_id, band_key,
+         COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
+  FROM bands
 ), cand AS (
   SELECT DISTINCT l.did AS id_a, r.did AS id_b
-  FROM bands l JOIN bands r
-    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.did < r.did
+  FROM bands_c l JOIN bands_c r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.did < r.did AND l.bn <= 1000
 )
 SELECT id_a, id_b,
   round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) AS jacc

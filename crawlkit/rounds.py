@@ -321,7 +321,13 @@ def run_round(
             F.lit(None).cast("long").alias("elapsed_ms"),
         )
     )
-    wh.write(stage_rows.unionByName(part_rows), "metrics", round_no)
+    metrics_all = stage_rows.unionByName(part_rows).persist()
+    # Count BEFORE write so the manifest records the true table row
+    # count (stage rows + per-partition lineage rows); `extracted` is
+    # persisted, so the lineage agg re-runs over cached data only.
+    metrics_rows = metrics_all.count()
+    wh.write(metrics_all, "metrics", round_no)
+    metrics_all.unpersist()
     # Commit keys are TABLE names (the manifest is what readers prune on).
     wh.commit_round(
         round_no,
@@ -330,7 +336,7 @@ def run_round(
             "urlseen_exact": metrics["new_seen"],
             "urlseen_bloom": metrics["new_seen"],
             "frontier": metrics["frontier_delta"],
-            "metrics": len(metrics),
+            "metrics": metrics_rows,
         },
     )
     for df in (queued, new_cand, selected, deferred, extracted, new_seen,

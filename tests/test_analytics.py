@@ -120,6 +120,44 @@ def test_ngram_jaccard_pairs(spark, dup_docs):
     assert got == {(0, 1), (0, 2), (1, 2)}
 
 
+def test_quadratic_fallback_guard_raises(spark, dup_docs):
+    """A block over the cap must error BEFORE the O(n²) join can run
+    (VERDICT r1: unguarded quadratic fallbacks are scale-killers)."""
+    from crawlkit.dedupe import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="quadratic fallback refused"):
+        ngram_jaccard_pairs(dup_docs, threshold=0.5, max_block_rows=2)
+
+    big = spark.range(10_050).selectExpr(
+        "id AS doc_id", "'en' AS lang",
+        "concat('tok', id, ' filler words for shingles here') AS text",
+    )
+    with pytest.raises(ValueError, match="quadratic fallback refused"):
+        ngram_jaccard_pairs(big, threshold=0.5)  # default cap 10_000
+
+
+def test_embedding_near_dups_guard_raises(spark, vecs):
+    from crawlkit.embeddings import embedding_near_dups
+
+    with pytest.raises(ValueError, match="quadratic fallback refused"):
+        embedding_near_dups(vecs, threshold=0.9, max_block_rows=5)
+
+
+def test_minhash_mega_bucket_cap(spark):
+    """Boilerplate mega-buckets are dropped from pair generation when
+    they exceed max_bucket_rows; normal corpora are unaffected."""
+    from crawlkit.dedupe import minhash_lsh_pairs
+
+    same = "copy of the very same boilerplate nav chrome text " * 3
+    df = spark.createDataFrame(
+        [(i, same) for i in range(6)], ["doc_id", "text"]
+    )
+    capped = minhash_lsh_pairs(df, threshold=0.5, max_bucket_rows=5).toPandas()
+    assert len(capped) == 0  # every band bucket holds all 6 docs > cap
+    full = minhash_lsh_pairs(df, threshold=0.5).toPandas()
+    assert len(full) == 15  # all C(6,2) identical pairs survive default cap
+
+
 # ---------------------------------------------------------------------------
 # embeddings
 

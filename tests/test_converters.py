@@ -228,3 +228,34 @@ def test_docstore_lookups(spark):
 
     per_url = docstore.latest_per_url(results).toPandas()
     assert len(per_url) == 1 and per_url.iloc[0].title == "T2"
+
+
+def test_find_latest_deterministic_past_100_versions(spark):
+    """find_latest orders by id BEFORE the 100-row fan-out cap, so with
+    >100 versions of one url the answer is partition-layout invariant:
+    the newest titled row among the 100 newest ids (the 10 newest rows
+    here are untitled, so row 11-from-top wins)."""
+    import datetime as dt
+
+    from crawlkit import docstore
+
+    url = "https://v.example/p"
+    rows = []
+    for i in range(150):
+        doc_id = i.to_bytes(4, "big") + b"\x00" * 8  # byte-comparable
+        title = None if i >= 140 else f"T{i}"
+        rows.append((doc_id, url, url, url, title,
+                     dt.datetime(2026, 1, 1) + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(
+        rows, "id binary, url string, src string, url_canon string,"
+        "title string, fetched_ts timestamp",
+    )
+    expect = (139).to_bytes(4, "big") + b"\x00" * 8
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts, layout in [("1", 1), ("8", 7), ("32", 13)]:
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = docstore.find_latest(df.repartition(layout), url).collect()
+            assert len(got) == 1 and bytes(got[0].id) == expect, parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
