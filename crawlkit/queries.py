@@ -467,20 +467,20 @@ def text_top_bigrams(spark, sf_dir):
 
 def _langdim_sql() -> str:
     """Oracle twin of langdim.normalize_lang + is_rtl over documents:
-    the dim's four lowercased name forms inlined as VALUES."""
-    from .langdim import LANGUAGES, RTL_CODES_3
+    the SAME Python-resolved (form → iso3) map the engine broadcasts
+    (first-match-wins, langdim.form_map) inlined as VALUES, so both
+    engines join byte-identical forms."""
+    from .langdim import RTL_CODES_3, form_map
 
-    rows = []
-    for iso1, iso3, english, native in LANGUAGES:
-        for form in {iso1.lower(), iso3.lower(), english.lower(), native.lower()}:
-            rows.append(f"('{form}', '{iso3}')")
-    values = ", ".join(sorted(rows))
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    values = ", ".join(
+        f"('{esc(form)}', '{iso3}')" for form, iso3 in sorted(form_map().items())
+    )
     rtl = ", ".join(f"'{c}'" for c in RTL_CODES_3)
     return f"""
-WITH forms AS (
-  SELECT form, MIN(iso3) AS iso639_3
-  FROM (VALUES {values}) v(form, iso3) GROUP BY form
-)
+WITH forms AS (SELECT * FROM (VALUES {values}) v(form, iso639_3))
 SELECT m.iso639_3 AS lang3,
        coalesce(m.iso639_3 IN ({rtl}), FALSE) AS rtl,
        COUNT(*)::BIGINT AS n_docs

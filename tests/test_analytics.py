@@ -159,6 +159,62 @@ def test_minhash_mega_bucket_cap(spark):
 
 
 # ---------------------------------------------------------------------------
+# language dimension
+
+REF_LANG_JSON = "/root/reference/src/languages.json"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_LANG_JSON),
+                    reason="reference table not present")
+def test_langdim_matches_reference_linear_scan():
+    """Every name form of every reference row must normalize to the
+    same iso639-3 the reference's lang639_3 returns (linear scan,
+    first match in array order wins — src/lang.ts:3-17)."""
+    import json
+
+    from crawlkit.langdim import form_map, lang639_3
+
+    entries = json.load(open(REF_LANG_JSON))
+    assert len(entries) == 158
+
+    def ref_lang639_3(lang: str) -> str:  # the reference, re-read
+        l = lang.lower()
+        for iso1, iso3, english, native in entries:
+            if l in (iso1, iso3, english.lower(), native.lower()):
+                return iso3
+        return ""
+
+    fm = form_map()
+    for iso1, iso3, english, native in entries:
+        for form in (iso1, iso3, english, english.upper(), native):
+            assert lang639_3(form) == ref_lang639_3(form), form
+    # unmatched input behaves like the reference ('' not a hit)
+    assert lang639_3("not-a-language") == ""
+    assert len(fm) >= 600
+
+
+def test_langdim_rtl_matches_reference():
+    from crawlkit.langdim import RTL_CODES_3, is_rtl
+
+    # src/lang.ts:19-27 verbatim membership
+    assert set(RTL_CODES_3) == {"ara", "heb", "fas", "urd",
+                                "kas", "pus", "uig", "snd"}
+
+
+def test_normalize_lang_spark(spark):
+    from crawlkit.langdim import normalize_lang
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "German"), (3, "Português"), (4, "zho"),
+         (5, "xx-nope"), (6, " ARABIC ")],
+        ["doc_id", "lang"],
+    )
+    out = {r.doc_id: r.lang3 for r in normalize_lang(df).collect()}
+    assert out == {1: "eng", 2: "deu", 3: "por", 4: "zho",
+                   5: None, 6: "ara"}
+
+
+# ---------------------------------------------------------------------------
 # embeddings
 
 @pytest.fixture(scope="module")
