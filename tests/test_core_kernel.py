@@ -5,6 +5,7 @@ from __future__ import annotations
 import hashlib
 import json
 import pathlib
+import re
 
 import numpy as np
 import pytest
@@ -143,9 +144,81 @@ def test_doc_to_html_roundtrip_shape():
     )
     html = doc_to_html(doc)
     assert html.startswith("<h1 id=")
-    assert "<ul><li" in html and 'colspan="2"' in html
+    # NB: plain <ul> parses as orderedList — the reference-pipeline
+    # quirk (see doctree._block) — so lists re-render as <ol>.
+    assert "<ol><li" in html and 'colspan="2"' in html
     # text projection: one line per textblock
     assert doc_to_text(doc) == "T\na\nb\nh\nd"
+
+
+def test_task_list_parse_amend_render():
+    doc = parse_html_to_doc(
+        '<ul data-type="taskList">'
+        '<li data-type="taskItem" data-checked="true">done item</li>'
+        '<li data-type="taskItem" data-checked="false">open item'
+        '<ul data-type="taskList">'
+        '<li data-type="taskItem" data-checked="false">nested</li>'
+        "</ul></li></ul>",
+        seed="s",
+    )
+    tl = doc["content"][0]
+    assert tl["type"] == "taskList"
+    items = tl["content"]
+    assert [i["type"] for i in items] == ["taskItem", "taskItem"]
+    assert items[0]["attrs"]["checked"] is True
+    assert items[1]["attrs"]["checked"] is False
+    assert items[0]["attrs"]["id"]  # taskItem is a uidType
+    nested = [c for c in items[1]["content"] if c["type"] == "taskList"]
+    assert nested and nested[0]["content"][0]["type"] == "taskItem"
+    html = doc_to_html(doc)
+    assert '<ul data-type="taskList">' in html
+    assert 'data-checked="true"' in html and 'data-checked="false"' in html
+    assert doc_to_text(doc) == "done item\nopen item\nnested"
+
+
+def test_youtube_embed_parse_render():
+    doc = parse_html_to_doc(
+        '<p>intro</p><div data-youtube-video>'
+        '<iframe src="https://www.youtube.com/embed/dQw4w9WgXcQ" '
+        'width="560" height="315"></iframe></div>'
+        '<iframe src="https://other.example/embed/x"></iframe>',
+        seed="s",
+    )
+    types = [n["type"] for n in doc["content"]]
+    assert types == ["paragraph", "youtube"]  # non-youtube iframe dropped
+    yt = doc["content"][1]
+    assert yt["attrs"]["src"].endswith("dQw4w9WgXcQ")
+    assert yt["attrs"]["width"] == 560 and yt["attrs"]["height"] == 315
+    assert "<div data-youtube-video><iframe" in doc_to_html(doc)
+
+
+def test_text_align_attr():
+    doc = parse_html_to_doc(
+        '<h2 style="text-align: center">C</h2>'
+        '<p style="TEXT-ALIGN:right">r</p><p>plain</p>',
+        seed="s",
+    )
+    h, p1, p2 = doc["content"]
+    assert h["attrs"]["textAlign"] == "center"
+    assert p1["attrs"]["textAlign"] == "right"
+    assert "textAlign" not in p2["attrs"]  # only when source declares one
+    html = doc_to_html(doc)
+    assert 'style="text-align: center"' in html
+    assert 'style="text-align: right"' in html
+
+
+def test_mention_and_emoji_spans_no_content_loss():
+    doc = parse_html_to_doc(
+        '<p>ping <span data-type="mention" data-id="jarvis">@jarvis</span>'
+        ' and <span data-type="emoji" data-name="smile">\U0001f604</span>!</p>',
+        seed="s",
+    )
+    kinds = [n["type"] for n in doc["content"][0]["content"]]
+    assert kinds == ["text", "mention", "text", "emoji", "text"]
+    assert doc_to_text(doc) == "ping @jarvis and \U0001f604!"
+    html = doc_to_html(doc)
+    assert 'data-type="mention" data-id="jarvis"' in html
+    assert 'data-type="emoji" data-name="smile"' in html
 
 
 def test_whitespace_collapse():
@@ -251,3 +324,123 @@ def test_reference_sample_golden():
         golden_path.write_text(json.dumps(digest, indent=2, ensure_ascii=False))
         pytest.skip("golden written on first run")
     assert json.loads(golden_path.read_text()) == digest
+
+
+# -- id-insensitive STRUCTURAL parity vs the reference's shipped goldens ------
+#
+# sample/doc_cbor.json is the reference's own amended tree for
+# sample/doc_page.html (src/tiptap.ts parseHTML output), and
+# sample/doc_html.html its canonical re-render (src/html.ts toHTML).
+# Byte-parity on ids is impossible by design (reference ids are random
+# nanoid(6)); everything else — node types, texts, marks, non-id attrs,
+# nesting — must match exactly, modulo three documented generational
+# deltas between the golden artifact and the reference's SHIPPED code
+# (which this kernel implements):
+#
+#  1. ids: golden assigns them to paragraph/heading/codeBlock only;
+#     shipped uidTypes (src/tiptap.ts:34-45) cover listItem/tableCell/…
+#     too → id attrs stripped on both sides.
+#  2. link marks: shipped amendNode (src/tiptap.ts:166-175) forces
+#     rel/target and deletes class; the golden predates it (1102 of its
+#     1170 links have neither) → compare href only.
+#  3. empty paragraphs: shipped amendNode invalidates empty and
+#     hardBreak-only paragraphs (src/tiptap.ts:144-152); the golden
+#     retains 7 → drop them from the golden side.
+
+REF_CBOR = pathlib.Path("/root/reference/sample/doc_cbor.json")
+REF_HTML = pathlib.Path("/root/reference/sample/doc_html.html")
+
+
+def _norm_tree(node: dict, drop_amended: bool = False) -> dict:
+    n = dict(node)
+    if isinstance(n.get("attrs"), dict):
+        attrs = {k: v for k, v in n["attrs"].items() if k != "id"}
+        if attrs:
+            n["attrs"] = attrs
+        else:
+            n.pop("attrs")
+    if n.get("marks"):
+        n["marks"] = [
+            dict(m, attrs={"href": (m.get("attrs") or {}).get("href")})
+            if m.get("type") == "link" else dict(m)
+            for m in n["marks"]
+        ]
+    if n.get("content") is not None:
+        kids = [_norm_tree(c, drop_amended) for c in n["content"]]
+        if drop_amended:
+            kids = [
+                c for c in kids
+                if not (
+                    c.get("type") == "paragraph"
+                    and (
+                        not c.get("content")
+                        or (len(c["content"]) == 1
+                            and c["content"][0].get("type") == "hardBreak")
+                    )
+                )
+            ]
+        n["content"] = kids
+    return n
+
+
+@pytest.mark.skipif(not REF_CBOR.exists(), reason="reference sample absent")
+def test_structural_parity_with_reference_doc_cbor():
+    import sys
+
+    sys.setrecursionlimit(100000)
+    d = extract_document(
+        SAMPLE.read_text(), "https://www.rfc-editor.org/rfc/rfc8949.html"
+    )
+    mine = cborlite.loads(d.content_cbor)
+    ref = json.loads(REF_CBOR.read_text())
+    assert _norm_tree(mine) == _norm_tree(ref, drop_amended=True)
+
+
+def _norm_html_tree(el):
+    """Comparable shape of an html tree: (tag, attrs, children) tuples.
+    Normalized: id/data-id attrs dropped (random nanoid vs deterministic
+    ids), colspan/rowspan="1" defaults dropped (the golden render emits
+    them, ours elides), whitespace-only text dropped and inline text
+    ws-collapsed (the golden render pretty-prints; <pre> text verbatim),
+    and empty / <br>-only <p> dropped (shipped-amender delta, as in
+    ``_norm_tree``)."""
+    from crawlkit.htmlkit import HText
+
+    res = []
+    for child in el.children:
+        if isinstance(child, HText):
+            p, inpre = child.parent, False
+            while p is not None:
+                if p.tag == "pre":
+                    inpre = True
+                    break
+                p = p.parent
+            if inpre:
+                res.append(("text", child.data))
+                continue
+            t = re.sub(r"[ \t\r\n\f]+", " ", child.data).strip(" ")
+            if t:
+                res.append(("text", t))
+            continue
+        attrs = {
+            k: v for k, v in child.attrs.items()
+            if k not in ("id", "data-id")
+            and not (k in ("colspan", "rowspan") and v == "1")
+        }
+        kids = _norm_html_tree(child)
+        if child.tag == "p" and (not kids or kids == [("br", (), ())]):
+            continue
+        res.append((child.tag, tuple(sorted(attrs.items())), tuple(kids)))
+    return res
+
+
+@pytest.mark.skipif(not REF_HTML.exists(), reason="reference sample absent")
+def test_structural_parity_with_reference_doc_html():
+    from crawlkit.htmlkit import parse_html
+
+    d = extract_document(
+        SAMPLE.read_text(), "https://www.rfc-editor.org/rfc/rfc8949.html"
+    )
+    mine = _norm_html_tree(parse_html(d.canonical_html))
+    ref = _norm_html_tree(parse_html(REF_HTML.read_text()))
+    assert mine == ref
