@@ -272,12 +272,13 @@ def convert_pdf_items(pages: list[list[PdfTextItem]], seed: str = "") -> dict:
 
 
 def convert_pdf(body: bytes, seed: str = "") -> dict:
-    """Byte-level PDF decode is stubbed (no pdf parser in container).
-    Plug a parser producing ``list[list[PdfTextItem]]`` and call
-    :func:`convert_pdf_items`."""
-    raise NotImplementedError(
-        "PDF byte parsing requires a parser library; use convert_pdf_items"
-    )
+    """X12 end-to-end: raw PDF bytes → text items (pure-Python subset
+    parser, :mod:`crawlkit.pdfkit` — classic objects, FlateDecode,
+    BT/ET text operators) → the faithful line-assembly algorithm above
+    (reference ``src/converting.ts:43-145`` via pdfjs)."""
+    from .pdfkit import extract_text_items
+
+    return convert_pdf_items(extract_text_items(body), seed)
 
 
 # ---------------------------------------------------------------------------

@@ -141,11 +141,67 @@ def test_consecutive_same_level_headings_merge():
     assert [t["text"] for t in headings[0]["content"]] == ["Head A", "Head B"]
 
 
-def test_pdf_bytes_stubbed():
-    from crawlkit.converters import convert_pdf
+def _build_pdf(compress: bool) -> bytes:
+    """Assemble a small 2-page PDF: page 1 has a size-24 title line and
+    size-10 body lines (10 = histogram mode → body text), page 2 one
+    paragraph; exercises Tf/Td/Tj/TJ/'/Tm, literal + hex strings."""
+    import zlib
 
-    with pytest.raises(NotImplementedError):
-        convert_pdf(b"%PDF-1.4")
+    c1 = (
+        b"BT /F1 24 Tf 72 720 Td (Big Title) Tj "
+        b"0 -30 Td /F1 10 Tf (body one ) Tj [(and) ( more)] TJ "
+        b"0 -12 Td (body two) Tj "
+        b"0 -12 Td (body three \\(escaped\\)) Tj "
+        b"0 -12 Td <686578> Tj ET"
+    )
+    c2 = b"BT /F1 10 Tf 1 0 0 1 72 720 Tm (second page) Tj ET"
+
+    def stream_obj(num: int, data: bytes) -> bytes:
+        if compress:
+            data = zlib.compress(data)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            head = b"<< /Length %d >>" % len(data)
+        return (b"%d 0 obj\n" % num) + head + b"\nstream\n" + data + \
+            b"\nendstream\nendobj\n"
+
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+        stream_obj(4, c1),
+        b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [6 0 R] >>\nendobj\n",
+        stream_obj(6, c2),
+        b"%%EOF\n",
+    ]
+    return b"".join(parts)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_convert_pdf_bytes(compress):
+    from crawlkit.converters import convert_pdf, find_title
+    from crawlkit.doctree import doc_to_text
+
+    doc = convert_pdf(_build_pdf(compress), seed="t")
+    assert find_title(doc, 1) == "Big Title"
+    text = doc_to_text(doc)
+    assert "body one and more" in text
+    assert "body three (escaped)" in text
+    assert "hex" in text
+    assert "second page" in text
+    types = [n["type"] for n in doc["content"]]
+    assert types[0] == "heading" and "paragraph" in types
+
+
+def test_convert_pdf_rejects_non_pdf():
+    from crawlkit.converters import convert_pdf
+    from crawlkit.pdfkit import PdfParseError
+
+    with pytest.raises(PdfParseError):
+        convert_pdf(b"not a pdf at all")
+    with pytest.raises(PdfParseError):
+        convert_pdf(b"%PDF-1.4 truncated garbage")
 
 
 # ---------------------------------------------------------------------------
