@@ -10,7 +10,9 @@ reports pages/s — the north-star metric's sandbox-scale proxy.
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-  BENCH_CRAWL_PAGES    synthetic crawl corpus size (default 10000)
+  BENCH_CRAWL_PAGES    synthetic crawl corpus size (default 60000 —
+                       the BASELINE.md scaling-matrix corpus, so the
+                       per-round crawl number is apples-to-apples)
   BENCH_SKIP_CRAWL     set to skip the crawl benchmark
 """
 
@@ -79,7 +81,7 @@ def main() -> None:
         # heavy pages (~24 KB html, ~12 ms extraction) — the steady-
         # state pipeline cost, not frontier ramp-up.  Corpus generation
         # is outside the timed window.
-        n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "10000"))
+        n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
         scfg = SynthConfig(n_pages=n_pages, n_hosts=100, n_seeds=10,
                            fanout=4, body_paras=(150, 250))
         corpus_dir = tempfile.mkdtemp(prefix="crawlkit-bench-corpus-")

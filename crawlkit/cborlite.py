@@ -36,26 +36,52 @@ def _encode_head(major: int, value: int, out: bytearray) -> None:
         out += value.to_bytes(8, "big")
 
 
+# Encoded-bytes memo for map keys: node trees reuse a handful of key
+# strings ("type", "attrs", "content", …) tens of thousands of times
+# per document — encode each once.  Bounded; values are tiny.
+_KEY_CACHE: dict[str, bytes] = {}
+
+
 def _encode_item(obj: object, out: bytearray) -> None:
     # hot path first: the doc tree is dicts/lists/strings
     t = type(obj)
     if t is str:
         data = obj.encode("utf-8")
-        _encode_head(3, len(data), out)
+        n = len(data)
+        if n < 24:  # inlined common-case head
+            out.append(0x60 | n)
+        else:
+            _encode_head(3, n, out)
         out += data
     elif t is dict:
         entries = []
         for key, value in obj.items():
-            kout = bytearray()
-            _encode_item(key, kout)
-            entries.append((bytes(kout), value))
+            if type(key) is str:
+                kbytes = _KEY_CACHE.get(key)
+                if kbytes is None:
+                    kout = bytearray()
+                    _encode_item(key, kout)
+                    kbytes = bytes(kout)
+                    if len(_KEY_CACHE) < 4096:
+                        _KEY_CACHE[key] = kbytes
+            else:
+                kout = bytearray()
+                _encode_item(key, kout)
+                kbytes = bytes(kout)
+            entries.append((kbytes, value))
+        # encodings are injective and map keys unique → no ties, the
+        # value element is never compared
         entries.sort(key=lambda kv: kv[0])
         _encode_head(5, len(entries), out)
         for kbytes, value in entries:
             out += kbytes
             _encode_item(value, out)
     elif t is list or t is tuple:
-        _encode_head(4, len(obj), out)
+        n = len(obj)
+        if n < 24:
+            out.append(0x80 | n)
+        else:
+            _encode_head(4, n, out)
         for item in obj:
             _encode_item(item, out)
     elif obj is None:

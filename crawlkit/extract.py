@@ -40,7 +40,7 @@ from .htmlkit import (
     element_text,
     find_all,
     inner_html,
-    outer_html,
+    outer_html_utf8_len,
     parse_html,
     remove_all,
     selection_text,
@@ -58,7 +58,10 @@ class Extracted:
     title: str = ""
     meta: dict[str, str] = field(default_factory=dict)
     content_html: str = ""  # X5 region inner HTML (doc.html)
-    page: str = ""  # full serialized page ($.html())
+    # utf-8 byte length of the full serialized page ($.html()) — the
+    # engine stores only the length (the body lives in the pages
+    # table), so the page string itself is never materialized
+    page_len: int = 0
     canonical_html: str = ""  # X8 re-render of the amended tree
     content_cbor: bytes = b""  # X9
     text: str = ""  # pinned parity column
@@ -125,7 +128,10 @@ def extract_document(html: str, url: str, src: str | None = None) -> Extracted:
                          links=_harvest_links(root))
 
     title = selection_text(title_els)
-    page = outer_html(root)
+    # length-only page serialization (before script strip, like the
+    # reference's $.html() capture) — no throwaway multi-hundred-KB
+    # string per page
+    page_len = outer_html_utf8_len(root)
 
     # X2/X3 meta harvest
     meta, og_title = _harvest_meta(root)
@@ -160,7 +166,7 @@ def extract_document(html: str, url: str, src: str | None = None) -> Extracted:
         title=title,
         meta=meta,
         content_html=content_html,
-        page=page,
+        page_len=page_len,
         canonical_html=canonical_html,
         content_cbor=content_cbor,
         text=text,

@@ -71,7 +71,7 @@ def _extract_partition(
                 rec.update(
                     status=ex.status,
                     links=links,
-                    page_len=len(ex.page.encode("utf-8")),
+                    page_len=ex.page_len,
                 )
                 if ex.status == "ok":
                     if (

@@ -196,6 +196,39 @@ def inner_html(el: HElement) -> str:
     return "".join(out)
 
 
+def outer_html_utf8_len(el: HElement) -> int:
+    """UTF-8 byte length of ``outer_html(el)`` WITHOUT building the
+    string.  The kernel stores only the serialized-page length
+    (reference caps cells at 1 MiB, model.ts:7); serializing a ~300 KB
+    DOM into a throwaway string per page was pure memory-bandwidth
+    waste — the scaling bottleneck on a shared bus."""
+    total = 0
+    stack: list[object] = (
+        list(reversed(el.children)) if el.tag == "#root" else [el]
+    )
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):  # deferred closing tag
+            total += len(node)
+            continue
+        if isinstance(node, HText):
+            parent = node.parent
+            if parent is not None and parent.tag in RAW_TEXT_ELEMENTS:
+                total += len(node.data.encode("utf-8"))
+            else:
+                total += len(escape(node.data, quote=False).encode("utf-8"))
+            continue
+        e = node  # HElement
+        total += len(e.tag) + 2  # '<tag>'
+        for k, v in e.attrs.items():
+            total += len(k) + 4 + len(escape(v, quote=True).encode("utf-8"))
+        if e.tag in VOID_ELEMENTS:
+            continue
+        stack.append(f"</{e.tag}>")
+        stack.extend(reversed(e.children))
+    return total
+
+
 def outer_html(el: HElement) -> str:
     out: list[str] = []
     if el.tag == "#root":
