@@ -103,8 +103,16 @@ def main() -> None:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    corpus_dir = tempfile.mkdtemp(prefix="crawlkit-scale-corpus-") + "/pages"
-    generate_corpus(n_pages, corpus_dir)
+    # optional 4th arg: reuse (or create) a persistent corpus dir, so
+    # repeated quiet-window attempts skip the ~2 min generation
+    keep_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    if keep_dir:
+        corpus_dir = keep_dir
+        if not Path(corpus_dir, "_SUCCESS").exists():
+            generate_corpus(n_pages, corpus_dir)
+    else:
+        corpus_dir = tempfile.mkdtemp(prefix="crawlkit-scale-corpus-") + "/pages"
+        generate_corpus(n_pages, corpus_dir)
     # Interleave fresh sessions (N, 4N, N, 4N, ...): each rep is an
     # independent cold app, so machine-level drift (page cache, VM
     # noise) hits both sizes alike; efficiency is computed per adjacent
@@ -113,7 +121,8 @@ def main() -> None:
     for _ in range(reps):
         smalls.append(run_at(n_small, n_pages, corpus_dir))
         bigs.append(run_at(n_small * 4, n_pages, corpus_dir))
-    shutil.rmtree(str(Path(corpus_dir).parent), ignore_errors=True)
+    if not keep_dir:
+        shutil.rmtree(str(Path(corpus_dir).parent), ignore_errors=True)
     best_small = max(smalls, key=lambda r: r["pages_per_sec"])
     best_big = max(bigs, key=lambda r: r["pages_per_sec"])
     pair_effs = [
