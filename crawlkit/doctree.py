@@ -382,6 +382,14 @@ class _DocBuilder:
                               "text": element_text(el) or None},
                 })
                 return
+            # Color/TextStyle (src/tiptap.ts:56,90): a styled span
+            # carries its color on a textStyle mark.
+            m = _COLOR_RE.search(el.attrs.get("style") or "")
+            if m:
+                mark = {"type": "textStyle",
+                        "attrs": {"color": m.group(1).strip()}}
+                if not any(x.get("type") == "textStyle" for x in marks):
+                    marks = marks + [mark]
         new_marks = marks
         if tag == "a":
             href = el.attrs.get("href", "")
@@ -468,6 +476,7 @@ def _code_text_content(pre: HElement) -> list[dict]:
 
 
 _ALIGN_RE = re.compile(r"text-align\s*:\s*(left|right|center|justify)", re.I)
+_COLOR_RE = re.compile(r"(?<![-\w])color\s*:\s*([^;]+)", re.I)
 
 # TextAlign.configure types (src/tiptap.ts:81-89)
 _ALIGN_TYPES = frozenset(
@@ -644,6 +653,11 @@ def _render_inline(node: dict, out: list[str]) -> None:
             if attrs.get("rel"):
                 a += f' rel="{_esc_attr(attrs["rel"])}"'
             text = a + ">" + text + "</a>"
+        elif mtype == "textStyle":
+            color = (mark.get("attrs") or {}).get("color")
+            if color:
+                text = (f'<span style="color: {_esc_attr(color)}">'
+                        f"{text}</span>")
         elif mtype in _MARK_TAGS:
             tag = _MARK_TAGS[mtype]
             text = f"<{tag}>{text}</{tag}>"

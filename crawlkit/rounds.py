@@ -279,7 +279,6 @@ def run_round(
         _as_frontier(links_unseen, round_no + 1)
         .unionByName(_as_frontier(deferred_next, round_no + 1))
         .unionByName(_as_frontier(retries, round_no + 1))
-        .persist()  # written AND counted — run the link probe once
     )
 
     # -- persist + atomic commit (T6) ------------------------------------
@@ -294,8 +293,11 @@ def run_round(
     wh.write(frontier_delta, "frontier", round_no)
     tick("frontier.write")
 
-    metrics["new_seen"] = new_seen.count()
-    metrics["frontier_delta"] = frontier_delta.count()
+    # Post-write row counts come from the staged parquet FOOTERS (no
+    # Spark job): three fewer scheduling round-trips of per-round fixed
+    # overhead vs recounting the frames.
+    metrics["new_seen"] = wh.row_count("urlseen_exact", round_no)
+    metrics["frontier_delta"] = wh.row_count("frontier", round_no)
     tick("counts")
     # Per-partition lineage for the extraction stage (north_rule
     # "resumable ... with per-partition lineage + metrics"): one row
@@ -321,13 +323,9 @@ def run_round(
             F.lit(None).cast("long").alias("elapsed_ms"),
         )
     )
-    metrics_all = stage_rows.unionByName(part_rows).persist()
-    # Count BEFORE write so the manifest records the true table row
-    # count (stage rows + per-partition lineage rows); `extracted` is
-    # persisted, so the lineage agg re-runs over cached data only.
-    metrics_rows = metrics_all.count()
-    wh.write(metrics_all, "metrics", round_no)
-    metrics_all.unpersist()
+    wh.write(stage_rows.unionByName(part_rows), "metrics", round_no)
+    # true table row count (stage rows + per-partition lineage rows)
+    metrics_rows = wh.row_count("metrics", round_no)
     # Commit keys are TABLE names (the manifest is what readers prune on).
     wh.commit_round(
         round_no,
@@ -339,8 +337,7 @@ def run_round(
             "metrics": metrics_rows,
         },
     )
-    for df in (queued, new_cand, selected, deferred, extracted, new_seen,
-               frontier_delta):
+    for df in (queued, new_cand, selected, deferred, extracted, new_seen):
         df.unpersist()
     return metrics
 

@@ -77,6 +77,20 @@ class Warehouse:
         """Stage a round's data (not visible until commit_round)."""
         df.write.mode("overwrite").parquet(str(self._round_dir(table, round_no)))
 
+    def row_count(self, table: str, round_no: int) -> int:
+        """Row count of a staged round from parquet FOOTER metadata —
+        no Spark job.  Iceberg keeps the same number in snapshot
+        manifests; here the footers are the metadata store.  Replaces
+        post-write ``df.count()`` actions, which each cost a full
+        scheduling round-trip just to recount already-written data."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        d = self._round_dir(table, round_no)
+        for f in d.glob("*.parquet"):
+            total += pq.ParquetFile(f).metadata.num_rows
+        return total
+
     def read(
         self,
         spark: SparkSession,

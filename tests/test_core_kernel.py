@@ -207,6 +207,22 @@ def test_text_align_attr():
     assert 'style="text-align: right"' in html
 
 
+def test_text_style_color_mark():
+    doc = parse_html_to_doc(
+        '<p>a <span style="color: #958DF1">violet</span> word; '
+        '<span style="background-color: red">not a color mark</span></p>',
+        seed="s",
+    )
+    nodes = doc["content"][0]["content"]
+    colored = [n for n in nodes if n.get("marks")]
+    assert len(colored) == 1
+    assert colored[0]["marks"] == [
+        {"type": "textStyle", "attrs": {"color": "#958DF1"}}
+    ]
+    assert 'style="color: #958DF1">violet</span>' in doc_to_html(doc)
+    assert doc_to_text(doc) == "a violet word; not a color mark"
+
+
 def test_mention_and_emoji_spans_no_content_loss():
     doc = parse_html_to_doc(
         '<p>ping <span data-type="mention" data-id="jarvis">@jarvis</span>'
