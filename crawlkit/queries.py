@@ -769,6 +769,61 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@q("streaming_windowed_rollup", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+  event_type AS status, COUNT(*)::BIGINT AS n_pages,
+  CAST(SUM(event_id % 1000) AS BIGINT) AS total_bytes
+FROM events GROUP BY 1, 2
+""")
+def streaming_windowed_rollup(spark, sf_dir):
+    """Structured Streaming execution path, oracle-checked: events are
+    shaped into results rows, staged as warehouse files, TAILED through
+    the streaming plan (file source → watermark → windowed agg) with a
+    one-shot availableNow drain — which must equal the same rollup as
+    plain SQL, because a single trigger drops nothing at the watermark.
+    """
+    import tempfile
+    import uuid
+
+    from . import streaming
+
+    ev = t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://h"), (F.col("user_id") % 5).cast("string"),
+        F.lit(".example/"), F.col("event_id").cast("string"),
+    )
+    rows = ev.select(
+        F.lit(None).cast("binary").alias("id"),
+        url.alias("url"),
+        url.alias("url_canon"),
+        F.col("event_id").cast("long").alias("url_hash"),
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"),
+                 F.lit(".example")).alias("host"),
+        url.alias("src"),
+        F.lit("t").alias("title"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+        F.lit(None).cast("binary").alias("content"),
+        F.lit(None).cast("string").alias("html"),
+        (F.col("event_id") % 1000).cast("long").alias("page_len"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+        F.col("event_type").alias("status"),
+        F.lit(0).cast("int").alias("depth"),
+        F.col("ts").alias("fetched_ts"),
+        F.lit(1).cast("int").alias("round"),
+    )
+    base = tempfile.mkdtemp(prefix="crawlkit-stream-q-")
+    rows.write.mode("overwrite").parquet(f"{base}/results/round=1")
+    return streaming.run_available_now(
+        streaming.windowed_status_rollup(
+            streaming.stream_results(spark, base), "1 day", "3 days"
+        ),
+        f"stream_rollup_{uuid.uuid4().hex[:8]}",
+        f"{base}/ckpt",
+        output_mode="complete",
+    )
+
+
 # =====================================================================
 # crawl engine end-to-end (non-SQL-expressible → rows-only check)
 # =====================================================================

@@ -160,6 +160,43 @@ def test_uncommitted_round_is_invisible(spark, pages, synth_cfg, tmp_warehouse):
     assert after == before
 
 
+def test_crash_resume_wipes_orphan_shards(spark, pages, synth_cfg,
+                                          tmp_warehouse):
+    """A crashed round's staging dir may hold result shards from task
+    layouts that no longer exist; re-execution must start from an
+    EMPTY staging dir or commit_round would publish stale rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cfg = CrawlConfig(warehouse=tmp_warehouse, max_depth=MAX_DEPTH, salt=4)
+    run_crawl(spark, cfg, pages, seeds_df(spark, synth_cfg),
+              robots_df(spark, synth_cfg), max_rounds=1)
+    wh = Warehouse(tmp_warehouse)
+    committed = wh.row_count("results", 1)
+
+    # simulate the crashed attempt: an orphan shard with a partition id
+    # the re-run's layout will never produce
+    round2_dir = wh.round_path("results", 2)
+    round2_dir.mkdir(parents=True, exist_ok=True)
+    from crawlkit.fetch import _results_arrow_schema
+
+    orphan = pa.Table.from_pylist(
+        [{"id": b"\x00" * 12, "url": "https://orphan.example/x",
+          "url_canon": "https://orphan.example/x", "url_hash": 1,
+          "host": "orphan.example", "src": "https://orphan.example/x",
+          "title": "ORPHAN", "meta": [], "content": b"", "html": "",
+          "page_len": 0, "text": "", "lang": "en", "status": "ok",
+          "depth": 0, "fetched_ts": cfg.now, "round": 2}],
+        schema=_results_arrow_schema(),
+    )
+    pq.write_table(orphan, round2_dir / "part-99999.parquet")
+
+    run_crawl(spark, cfg, pages, max_rounds=1)  # resume executes round 2
+    res = wh.read(spark, "results", schema.RESULTS_SCHEMA)
+    assert res.where(res.title == "ORPHAN").count() == 0
+    assert wh.row_count("results", 1) == committed  # round 1 untouched
+
+
 def test_partition_count_invariance(spark, pages, synth_cfg, tmp_path_factory):
     """north_rule cluster-size invariant: same ordering & seen set at
     shuffle.partitions ∈ {1, 8, 32}."""
