@@ -74,11 +74,14 @@ def streaming_seen_dedupe(
     ts_col: str = "fetched_ts",
 ) -> DataFrame:
     """Stateful URL-seen dedupe on a stream: first row per url_hash
-    wins; the event-time watermark bounds the dedupe state (a url seen
-    again after the watermark horizon re-emits — the streaming analog
-    of the batch recrawl-freshness window, and the only state bound
-    that survives an unbounded crawl)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(["url_hash"])
+    wins; ``dropDuplicatesWithinWatermark`` EVICTS per-key state once
+    the key's event time falls behind the watermark (plain key-only
+    ``dropDuplicates`` never expires state → OOM on an unbounded
+    crawl).  A url seen again after the horizon re-emits — the
+    streaming analog of the batch recrawl-freshness window."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["url_hash"]
+    )
 
 
 _BUDGET_OUT = T.StructType(
