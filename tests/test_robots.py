@@ -1,0 +1,87 @@
+"""robots.txt parser + Spark dim-table operator tests."""
+
+from __future__ import annotations
+
+from crawlkit.politeness import DEFAULT_CRAWL_DELAY_MS
+from crawlkit.robots import parse_robots_txt, robots_table
+
+SAMPLE = """
+# example robots file
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: crawlkit
+User-agent: otherbot
+Disallow: /private/
+Disallow: /tmp/*.log
+Allow: /private/ok/
+Crawl-delay: 1.5
+
+User-agent: *
+Disallow: /everyone-out/
+Crawl-delay: 10
+"""
+
+
+def test_group_selection_and_rules():
+    r = parse_robots_txt(SAMPLE, agent="crawlkit")
+    assert r["disallow_prefixes"] == ["/private/", "/tmp/"]  # wildcard cut
+    assert r["allow_prefixes"] == ["/private/ok/"]
+    assert r["crawl_delay_ms"] == 1500
+    # unknown agent falls back to the * group
+    r = parse_robots_txt(SAMPLE, agent="someone-else")
+    assert r["disallow_prefixes"] == ["/everyone-out/"]
+    assert r["crawl_delay_ms"] == 10_000
+    # agent token matching is substring-based, longest token wins
+    r = parse_robots_txt(SAMPLE, agent="Mozilla-compatible googlebot/2.1")
+    assert r["disallow_prefixes"] == ["/google-only/"]
+
+
+def test_empty_and_edge_cases():
+    assert parse_robots_txt(None) == {
+        "disallow_prefixes": [], "allow_prefixes": [],
+        "crawl_delay_ms": DEFAULT_CRAWL_DELAY_MS,
+    }
+    assert parse_robots_txt("")["disallow_prefixes"] == []
+    # bare Disallow: (empty value) = allow all, adds no rule
+    r = parse_robots_txt("User-agent: *\nDisallow:\nCrawl-delay: bogus")
+    assert r["disallow_prefixes"] == []
+    assert r["crawl_delay_ms"] == DEFAULT_CRAWL_DELAY_MS  # bad delay ignored
+    # comments and case-insensitivity
+    r = parse_robots_txt("USER-AGENT: CrawlKit # hi\nDISALLOW: /x/ # bye")
+    assert r["disallow_prefixes"] == ["/x/"]
+
+
+def test_robots_table_feeds_politeness(spark):
+    from pyspark.sql import functions as F
+
+    from crawlkit.politeness import apply_politeness
+    from crawlkit.schema import HOSTBUDGET_SCHEMA
+    from crawlkit.sparkfns import with_url_identity
+
+    fetched = spark.createDataFrame(
+        [("a.example", SAMPLE), ("b.example", None)],
+        "host string, robots_txt string",
+    )
+    dim = robots_table(fetched, agent="crawlkit")
+    assert [f.name for f in dim.schema.fields] == \
+        [f.name for f in HOSTBUDGET_SCHEMA.fields]
+    rows = {r.host: r for r in dim.collect()}
+    assert rows["a.example"].crawl_delay_ms == 1500
+    assert rows["a.example"].disallow_prefixes == ["/private/", "/tmp/"]
+    assert rows["b.example"].crawl_delay_ms == DEFAULT_CRAWL_DELAY_MS
+
+    cand = with_url_identity(
+        spark.createDataFrame(
+            [("https://a.example/private/secret",),
+             ("https://a.example/public/page",),
+             ("https://b.example/anything",)],
+            "url string",
+        ).select("url", F.lit(0).alias("depth"),
+                 F.lit(None).cast("double").alias("priority"))
+    )
+    selected, _deferred = apply_politeness(cand, dim, round_duration_ms=60_000)
+    urls = {r.url_canon for r in selected.collect()}
+    assert "https://a.example/private/secret" not in urls  # robots-blocked
+    assert "https://a.example/public/page" in urls
+    assert "https://b.example/anything" in urls
