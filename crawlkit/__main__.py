@@ -28,6 +28,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pages", help="parquet dir of the pages table")
     p.add_argument("--seeds", help="parquet dir/file with (url, depth)")
     p.add_argument("--robots", help="parquet with hostbudget schema")
+    p.add_argument("--robots-txt",
+                   help="parquet with RAW (host, robots_txt) bodies — "
+                        "parsed into the hostbudget dim (crawlkit.robots)")
+    p.add_argument("--agent", default="crawlkit",
+                   help="user-agent token for robots.txt group selection")
     p.add_argument("--rounds", type=int, default=10, help="max rounds")
     p.add_argument("--max-depth", type=int, default=4)
     p.add_argument("--round-duration-ms", type=int, default=60_000)
@@ -56,7 +61,14 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--pages is required without --synth")
         pages = spark.read.parquet(args.pages)
         seeds = spark.read.parquet(args.seeds) if args.seeds else None
-        robots = spark.read.parquet(args.robots) if args.robots else None
+        if args.robots_txt:
+            from .robots import robots_table
+
+            robots = robots_table(
+                spark.read.parquet(args.robots_txt), agent=args.agent
+            )
+        else:
+            robots = spark.read.parquet(args.robots) if args.robots else None
 
     cfg = CrawlConfig(
         warehouse=args.warehouse,

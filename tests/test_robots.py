@@ -52,6 +52,44 @@ def test_empty_and_edge_cases():
     assert r["disallow_prefixes"] == ["/x/"]
 
 
+def test_cli_crawl_with_raw_robots(spark, tmp_path, pages, synth_cfg,
+                                   capsys):
+    """spark-submit surface end-to-end: crawl driven through
+    ``crawlkit.__main__`` with RAW robots.txt bodies (--robots-txt)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from crawlkit.__main__ import main
+    from crawlkit.synth import robots_records, seeds_df
+
+    pages_dir, seeds_dir, robots_dir = (
+        str(tmp_path / d) for d in ("pages", "seeds", "robots")
+    )
+    pages.write.parquet(pages_dir)
+    seeds_df(spark, synth_cfg).write.parquet(seeds_dir)
+    # raw robots bodies equivalent to the synth hostbudget dim
+    bodies = [
+        (r["host"],
+         "User-agent: crawlkit\n"
+         + "".join(f"Disallow: {p}\n" for p in r["disallow_prefixes"])
+         + f"Crawl-delay: {r['crawl_delay_ms'] / 1000}\n")
+        for r in robots_records(synth_cfg)
+    ]
+    spark.createDataFrame(bodies, "host string, robots_txt string").write.parquet(
+        robots_dir
+    )
+    rc = main([
+        "--warehouse", str(tmp_path / "wh"), "--pages", pages_dir,
+        "--seeds", seeds_dir, "--robots-txt", robots_dir,
+        "--rounds", "2", "--master", "local[4]",
+    ])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()
+             if x.startswith("{")]
+    assert lines[-1]["rounds_run"] == 2 and lines[-1]["fetched"] > 0
+
+
 def test_robots_table_feeds_politeness(spark):
     from pyspark.sql import functions as F
 
