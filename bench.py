@@ -95,17 +95,21 @@ def main() -> None:
         # identical runs up to ~3x (BASELINE.md variance notes); the
         # best rep is the engine number, the spread is the weather.
         reps = int(os.environ.get("BENCH_CRAWL_REPS", "2"))
-        rep_secs: list[float] = []
-        fetched = 0
+        rep_runs: list[tuple[float, int]] = []  # (seconds, fetched) per rep
         for _ in range(max(reps, 1)):
             wh = tempfile.mkdtemp(prefix="crawlkit-bench-wh-")
             cfg = CrawlConfig(warehouse=wh, round_duration_ms=600_000)
             t0 = time.perf_counter()
             metrics = run_crawl(spark, cfg, pages, seeds, robots, max_rounds=1)
-            rep_secs.append(round(time.perf_counter() - t0, 3))
-            fetched = sum(m.get("selected", 0) for m in metrics)
+            rep_runs.append((
+                round(time.perf_counter() - t0, 3),
+                sum(m.get("selected", 0) for m in metrics),
+            ))
             shutil.rmtree(wh, ignore_errors=True)
-        crawl_s = min(rep_secs)
+        # best rep by ITS OWN throughput — never mix one rep's page
+        # count with another rep's elapsed time
+        crawl_s, fetched = max(rep_runs, key=lambda sf: sf[1] / sf[0])
+        rep_secs = [s for s, _ in rep_runs]
         timings["crawl_round_saturated"] = crawl_s
         crawl_stats = {
             "rounds": 1,

@@ -33,47 +33,56 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from .textops import md5i60, tokens
 
 
 def _size_suffix_bytes(v: str) -> int:
-    """Parse Spark size confs like '134217728b' / '128m' to bytes."""
+    """Parse Spark size confs ('134217728b', '128m', '128mb', '1g')
+    to bytes — two-letter suffixes checked before their one-letter
+    prefixes so '128mb' doesn't strip only the 'b'."""
     v = v.strip().lower()
-    mult = 1
-    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                   ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
         if v.endswith(suf):
-            v, mult = v[: -len(suf)], m
-            break
-    return int(v) * mult
+            return int(v[: -len(suf)]) * m
+    return int(v)
 
 
-def estimated_scan_splits(df: DataFrame) -> int | None:
+_IN_MEMORY = "in_memory"
+_UNKNOWN = "unknown"
+
+
+def estimated_scan_splits(df: DataFrame) -> int | str:
     """Driver-side estimate of the file-scan partition count, without
     touching ``df.rdd`` (which would pin a non-AQE plan and can force
     upstream materialization on joined frames).  Mirrors Spark's public
     split math (``FilePartition.maxSplitBytes``): splitsize =
     min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism)).
-    Returns None for non-file sources (in-memory frames)."""
+
+    Returns an int estimate for local file scans, ``_IN_MEMORY`` for
+    sources with no input files (driver-built frames — tiny), or
+    ``_UNKNOWN`` for remote/unstatable filesystems (don't guess)."""
     import os
     from urllib.parse import urlparse
 
     try:
         files = df.inputFiles()
     except Exception:
-        return None
+        return _UNKNOWN
     if not files:
-        return None
+        return _IN_MEMORY
     sizes = []
     for uri in files:
         p = urlparse(uri)
         if p.scheme not in ("file", ""):
-            return None  # remote FS — don't guess, let the scan decide
+            return _UNKNOWN  # remote FS — let the scan decide
         try:
             sizes.append(os.path.getsize(p.path))
         except OSError:
-            return None
+            return _UNKNOWN
     conf = df.sparkSession.conf
     open_cost = _size_suffix_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304"))
     max_pb = _size_suffix_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
@@ -89,15 +98,17 @@ def spread(df: DataFrame) -> DataFrame:
     maxPartitionBytes), which would serialize hash/signature work onto
     a single core.  Inputs whose scans already have >= session
     parallelism splits (the cluster-scale case) pass through untouched
-    — repartitioning a 100 TB scan would be a catastrophic shuffle.
-    The split count is *estimated* driver-side from the input file
-    sizes (no ``.rdd`` materialization; None → tiny in-memory frame,
-    repartitioning is cheap and safe)."""
+    — repartitioning a 100 TB scan would be a catastrophic shuffle —
+    and so do scans whose size can't be estimated (remote filesystems):
+    when in doubt, never add a shuffle.  Only driver-built in-memory
+    frames (tiny by construction) repartition unconditionally."""
     target = df.sparkSession.sparkContext.defaultParallelism
     est = estimated_scan_splits(df)
-    if est is not None and est >= target:
+    if est == _UNKNOWN:
         return df
-    return df.repartition(target)
+    if est == _IN_MEMORY or est < target:
+        return df.repartition(target)
+    return df
 
 
 def assert_block_sizes(
@@ -190,6 +201,10 @@ def exact_dedupe(df: DataFrame, text_col: str = "text",
 # MinHash + LSH
 
 MERSENNE31 = 2147483647  # 2^31 - 1
+
+# Boilerplate mega-bucket cap; the DuckDB oracle twin in queries.py is
+# generated from THIS constant so engine and oracle always agree.
+DEFAULT_MAX_BUCKET_ROWS = 1000
 
 
 def shingle_hashes(shingle_col: Column) -> Column:
@@ -290,7 +305,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
-    max_bucket_rows: int = 1000,
+    max_bucket_rows: int = DEFAULT_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidate generation + exact-Jaccard
     verification.  Output: (id_a, id_b, jacc) with id_a < id_b and
@@ -326,14 +341,19 @@ def minhash_lsh_pairs(
         .select("did", F.col("b.band_id").alias("band_id"),
                 F.col("b.band_key").alias("band_key"))
     )
-    # Bucket-grouped pair generation: ONE shuffle (groupBy bucket) in
-    # place of the former band-rows self-join (two sorted shuffles of
-    # the same rows).  collect_list is bounded by max_bucket_rows, and
-    # singleton buckets never leave the aggregation.
+    # Bucket-grouped pair generation in place of the former band-rows
+    # self-join (two sorted shuffles of the same rows).  The mega-bucket
+    # cap is applied with a WINDOW COUNT *before* any collect_list, so
+    # a degenerate 10⁹-row boilerplate bucket is filtered as narrow
+    # rows and never materializes an aggregation buffer; the follow-up
+    # groupBy reuses the window's hash partitioning (no extra
+    # exchange), keeping this one effective shuffle.
+    bucket_w = Window.partitionBy("band_id", "band_key")
     buckets = (
-        band_rows.groupBy("band_id", "band_key")
+        band_rows.withColumn("bn", F.count("*").over(bucket_w))
+        .where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket_rows))
+        .groupBy("band_id", "band_key")
         .agg(F.collect_list("did").alias("dids"))
-        .where((F.size("dids") >= 2) & (F.size("dids") <= max_bucket_rows))
     )
     cand = (
         buckets.select(F.explode("dids").alias("id_a"), "dids")

@@ -383,13 +383,16 @@ class _DocBuilder:
                 })
                 return
             # Color/TextStyle (src/tiptap.ts:56,90): a styled span
-            # carries its color on a textStyle mark.
+            # carries its color on a textStyle mark; nested spans
+            # REPLACE the inherited color — the innermost wins, like
+            # CSS and the reference's mark model.
             m = _COLOR_RE.search(el.attrs.get("style") or "")
             if m:
                 mark = {"type": "textStyle",
                         "attrs": {"color": m.group(1).strip()}}
-                if not any(x.get("type") == "textStyle" for x in marks):
-                    marks = marks + [mark]
+                marks = [
+                    x for x in marks if x.get("type") != "textStyle"
+                ] + [mark]
         new_marks = marks
         if tag == "a":
             href = el.attrs.get("href", "")

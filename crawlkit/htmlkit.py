@@ -203,14 +203,11 @@ def outer_html_utf8_len(el: HElement) -> int:
     DOM into a throwaway string per page was pure memory-bandwidth
     waste — the scaling bottleneck on a shared bus."""
     total = 0
-    stack: list[object] = (
+    stack: list[HNode] = (
         list(reversed(el.children)) if el.tag == "#root" else [el]
     )
     while stack:
         node = stack.pop()
-        if isinstance(node, str):  # deferred closing tag
-            total += len(node)
-            continue
         if isinstance(node, HText):
             parent = node.parent
             if parent is not None and parent.tag in RAW_TEXT_ELEMENTS:
@@ -219,12 +216,14 @@ def outer_html_utf8_len(el: HElement) -> int:
                 total += len(escape(node.data, quote=False).encode("utf-8"))
             continue
         e = node  # HElement
-        total += len(e.tag) + 2  # '<tag>'
+        tag_bytes = len(e.tag.encode("utf-8"))  # names can be non-ASCII
+        total += tag_bytes + 2  # '<tag>'
         for k, v in e.attrs.items():
-            total += len(k) + 4 + len(escape(v, quote=True).encode("utf-8"))
+            total += (len(k.encode("utf-8")) + 4
+                      + len(escape(v, quote=True).encode("utf-8")))
         if e.tag in VOID_ELEMENTS:
             continue
-        stack.append(f"</{e.tag}>")
+        total += tag_bytes + 3  # '</tag>'
         stack.extend(reversed(e.children))
     return total
 

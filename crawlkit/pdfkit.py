@@ -59,12 +59,15 @@ def _object_stream(body: bytes) -> bytes | None:
     if m is None:
         return None
     raw = m.group(1)
-    if b"/FlateDecode" in body:
+    # filter detection must look at the object DICTIONARY only — the
+    # stream payload itself may legitimately contain '/FlateDecode'
+    header = body.split(b"stream", 1)[0]
+    if b"/FlateDecode" in header:
         try:
             return zlib.decompress(raw)
         except zlib.error as e:
             raise PdfParseError(f"bad FlateDecode stream: {e}") from None
-    if b"/Filter" in body.split(b"stream", 1)[0]:
+    if b"/Filter" in header:
         raise PdfParseError("unsupported stream filter (only FlateDecode)")
     return raw
 
@@ -209,18 +212,53 @@ def _items_of_stream(stream: bytes) -> list[PdfTextItem]:
     return items
 
 
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in READING order: walk the catalog's page
+    tree (/Pages → /Kids, depth-first, kid order preserved).  Falls
+    back to ascending object number only when no usable tree exists —
+    object numbering does not imply reading order in general."""
+    is_page = {
+        num: re.search(rb"/Type\s*/Page\b(?!s)", b) is not None
+        for num, b in objs.items()
+    }
+    root_ref = None
+    for b in objs.values():
+        if re.search(rb"/Type\s*/Catalog\b", b):
+            m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", b)
+            if m:
+                root_ref = int(m.group(1))
+            break
+    ordered: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen or num not in objs:
+            return
+        seen.add(num)
+        if is_page.get(num):
+            ordered.append(num)
+            return
+        m = re.search(rb"/Kids\s*\[([^\]]*)\]", objs[num])
+        if m:
+            for kid in _REF_RE.finditer(m.group(1)):
+                walk(int(kid.group(1)))
+
+    if root_ref is not None:
+        walk(root_ref)
+    if not ordered:  # no/broken tree: every /Type /Page, numeric order
+        ordered = [n for n in sorted(objs) if is_page.get(n)]
+    return ordered
+
+
 def extract_text_items(body: bytes) -> list[list[PdfTextItem]]:
     """Pages of pdfjs-shaped text items from raw PDF bytes."""
     if not body.startswith(b"%PDF"):
         raise PdfParseError("not a PDF (missing %PDF header)")
     objs = _scan_objects(body)
     pages: list[list[PdfTextItem]] = []
-    for num in sorted(objs):
-        bodyb = objs[num]
-        if re.search(rb"/Type\s*/Page\b(?!s)", bodyb) is None:
-            continue
+    for num in _page_order(objs):
         items: list[PdfTextItem] = []
-        for ref in _content_refs(bodyb):
+        for ref in _content_refs(objs[num]):
             target = objs.get(ref)
             if target is None:
                 continue

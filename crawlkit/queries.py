@@ -612,7 +612,9 @@ def dedup_exact(spark, sf_dir):
     return dedupe.exact_dedupe(t(spark, sf_dir, "documents"))
 
 
-@q("dedup_minhash_lsh", """
+# the mega-bucket cap is generated from the engine's own constant so
+# the two sides can never drift
+_MINHASH_SQL = """
 WITH base AS (
   SELECT doc_id AS did,
          list_distinct(list_transform(range(1, len(toks) - 1),
@@ -642,13 +644,16 @@ WITH base AS (
   SELECT DISTINCT l.did AS id_a, r.did AS id_b
   FROM bands_c l JOIN bands_c r
     ON l.band_id = r.band_id AND l.band_key = r.band_key
-       AND l.did < r.did AND l.bn <= 1000
+       AND l.did < r.did AND l.bn <= {MAX_BUCKET}
 )
 SELECT id_a, id_b,
   round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) AS jacc
 FROM cand JOIN base a ON a.did = id_a JOIN base b ON b.did = id_b
 WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) >= 0.5
-""")
+""".replace("{MAX_BUCKET}", str(dedupe.DEFAULT_MAX_BUCKET_ROWS))
+
+
+@q("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (K=16, 8 bands × 2 rows) with exact
     Jaccard verification; the oracle replicates the full signature and

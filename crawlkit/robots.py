@@ -66,10 +66,12 @@ def parse_robots_txt(body: str | None, agent: str = "crawlkit") -> dict:
             cur_rules.append((key, value))
     close_group()
 
-    # pick the group with the longest matching agent token; '*' matches
-    # everything with the lowest specificity (length 0)
-    best: tuple[int, list[tuple[str, str]]] | None = None
-    for agents, rules in groups:
+    # pick the LONGEST matching agent token ('*' matches everything at
+    # the lowest specificity), then MERGE every group at that
+    # specificity in document order — RFC 9309 §2.2.1: multiple
+    # matching groups' rules MUST be combined
+    def group_score(agents: list[str]) -> int | None:
+        best = None
         for a in agents:
             if a == "*":
                 score = 0
@@ -77,13 +79,20 @@ def parse_robots_txt(body: str | None, agent: str = "crawlkit") -> dict:
                 score = len(a)
             else:
                 continue
-            if best is None or score > best[0]:
-                best = (score, rules)
+            best = score if best is None else max(best, score)
+        return best
+
+    scored = [(group_score(agents), rules) for agents, rules in groups]
+    matching = [(s, r) for s, r in scored if s is not None]
+    best_score = max((s for s, _ in matching), default=None)
+    merged_rules = [
+        kv for s, rules in matching if s == best_score for kv in rules
+    ]
 
     disallow: list[str] = []
     allow: list[str] = []
     delay_ms = DEFAULT_CRAWL_DELAY_MS
-    for key, value in (best[1] if best else []):
+    for key, value in merged_rules:
         if key == "disallow" and value:
             disallow.append(value.split("*", 1)[0])
         elif key == "allow" and value:

@@ -50,6 +50,10 @@ def get_spark(
         # wide cached frames (html/cbor columns) at full task concurrency
         .config("spark.driver.memory", os.environ.get("CRAWLKIT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # fetch_extract_write's per-task shard files require it off (it
+        # also asserts); off is Spark's default — pinned here so a
+        # cluster-side default flip can't silently corrupt rounds
+        .config("spark.speculation", "false")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

@@ -194,6 +194,35 @@ def test_convert_pdf_bytes(compress):
     assert types[0] == "heading" and "paragraph" in types
 
 
+def test_pdf_page_tree_order_and_literal_flatedecode():
+    """Pages follow the catalog's /Kids order even when object numbers
+    run backwards, and an UNCOMPRESSED stream whose text contains the
+    literal '/FlateDecode' is not mis-decompressed."""
+    from crawlkit.converters import convert_pdf
+    from crawlkit.doctree import doc_to_text
+
+    def stream_obj(num: int, data: bytes) -> bytes:
+        return (b"%d 0 obj\n<< /Length %d >>\nstream\n" % (num, len(data))
+                + data + b"\nendstream\nendobj\n")
+
+    c_first = b"BT /F1 10 Tf (first page mentions /FlateDecode here) Tj ET"
+    c_second = b"BT /F1 10 Tf (second page) Tj ET"
+    pdf = b"".join([
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        # kids listed high-number-first: reading order != numeric order
+        b"2 0 obj\n<< /Type /Pages /Kids [9 0 R 3 0 R] /Count 2 >>\nendobj\n",
+        b"9 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 10 0 R >>\nendobj\n",
+        stream_obj(10, c_first),
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+        stream_obj(4, c_second),
+        b"%%EOF\n",
+    ])
+    text = doc_to_text(convert_pdf(pdf, seed="t"))
+    first = text.index("first page mentions /FlateDecode")
+    assert first < text.index("second page")  # /Kids order respected
+
+
 def test_convert_pdf_rejects_non_pdf():
     from crawlkit.converters import convert_pdf
     from crawlkit.pdfkit import PdfParseError

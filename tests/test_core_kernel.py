@@ -207,6 +207,28 @@ def test_text_align_attr():
     assert 'style="text-align: right"' in html
 
 
+def test_outer_html_len_non_ascii_names():
+    from crawlkit.htmlkit import outer_html, outer_html_utf8_len, parse_html
+
+    root = parse_html('<div данные="значение x" ок>hi ё</div><p>π</p>')
+    assert outer_html_utf8_len(root) == len(outer_html(root).encode("utf-8"))
+
+
+def test_nested_color_spans_innermost_wins():
+    doc = parse_html_to_doc(
+        '<p><span style="color: red">a<span style="color: blue">b</span>'
+        "c</span></p>",
+        seed="s",
+    )
+    nodes = doc["content"][0]["content"]
+    colors = [
+        next(m["attrs"]["color"] for m in n.get("marks", [])
+             if m["type"] == "textStyle")
+        for n in nodes
+    ]
+    assert colors == ["red", "blue", "red"]
+
+
 def test_text_style_color_mark():
     doc = parse_html_to_doc(
         '<p>a <span style="color: #958DF1">violet</span> word; '

@@ -37,6 +37,22 @@ def test_group_selection_and_rules():
     assert r["disallow_prefixes"] == ["/google-only/"]
 
 
+def test_multiple_matching_groups_merge():
+    """RFC 9309 §2.2.1: several groups matching the same agent at the
+    same specificity combine their rules."""
+    body = (
+        "User-agent: crawlkit\nDisallow: /a/\n\n"
+        "User-agent: other\nDisallow: /other/\n\n"
+        "User-agent: crawlkit\nDisallow: /b/\nCrawl-delay: 2\n"
+    )
+    r = parse_robots_txt(body, agent="crawlkit")
+    assert r["disallow_prefixes"] == ["/a/", "/b/"]
+    assert r["crawl_delay_ms"] == 2000
+    # a more specific token shadows the merged * groups entirely
+    body2 = "User-agent: *\nDisallow: /x/\nUser-agent: crawlkit\nDisallow: /y/\n"
+    assert parse_robots_txt(body2, agent="crawlkit")["disallow_prefixes"] == ["/y/"]
+
+
 def test_empty_and_edge_cases():
     assert parse_robots_txt(None) == {
         "disallow_prefixes": [], "allow_prefixes": [],

@@ -104,12 +104,23 @@ def main() -> None:
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     # optional 4th arg: reuse (or create) a persistent corpus dir, so
-    # repeated quiet-window attempts skip the ~2 min generation
+    # repeated quiet-window attempts skip the ~2 min generation.  A
+    # size marker guards against silently measuring a stale corpus of
+    # a different n_pages.
     keep_dir = sys.argv[4] if len(sys.argv) > 4 else None
     if keep_dir:
         corpus_dir = keep_dir
-        if not Path(corpus_dir, "_SUCCESS").exists():
+        marker = Path(corpus_dir).parent / "_n_pages"
+        stale = (
+            not Path(corpus_dir, "_SUCCESS").exists()
+            or not marker.exists()
+            or marker.read_text().strip() != str(n_pages)
+        )
+        if stale:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
             generate_corpus(n_pages, corpus_dir)
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            marker.write_text(str(n_pages))
     else:
         corpus_dir = tempfile.mkdtemp(prefix="crawlkit-scale-corpus-") + "/pages"
         generate_corpus(n_pages, corpus_dir)
