@@ -819,7 +819,7 @@ def streaming_windowed_rollup(spark, sf_dir):
     )
     base = tempfile.mkdtemp(prefix="crawlkit-stream-q-")
     rows.write.mode("overwrite").parquet(f"{base}/results/round=1")
-    return streaming.run_available_now(
+    out = streaming.run_available_now(
         streaming.windowed_status_rollup(
             streaming.stream_results(spark, base), "1 day", "3 days"
         ),
@@ -827,6 +827,12 @@ def streaming_windowed_rollup(spark, sf_dir):
         f"{base}/ckpt",
         output_mode="complete",
     )
+    # the memory sink holds the materialized rows; the staged source
+    # and checkpoint are no longer needed
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 # =====================================================================
