@@ -744,14 +744,37 @@ def ann_lsh_buckets(spark, sf_dir):
     return embeddings.lsh_buckets(t(spark, sf_dir, "embeddings"), n_planes=8)
 
 
+@q("ann_topk_lsh", """
+WITH sig AS (
+  SELECT vec_id, embedding,
+    CAST(list_sum(list_transform(range(0, 8), p ->
+      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+             embedding[d]::DOUBLE *
+             (('0x' || substr(md5(p::VARCHAR || ',' || (d-1)::VARCHAR), 1, 15))::BIGINT
+              / 576460752303423488.0 - 1.0))) > 0
+           THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+  FROM embeddings),
+probes AS (
+  SELECT qvec, unnest(buckets) AS bucket FROM (
+    SELECT embedding AS qvec,
+           [bucket] || list_transform(range(0, 8),
+                                      p -> xor(bucket, (1::BIGINT << p))) AS buckets
+    FROM sig WHERE vec_id = 0))
+SELECT s.vec_id,
+  round(list_cosine_similarity(s.embedding::DOUBLE[], p.qvec::DOUBLE[]), 3) AS sim
+FROM sig s JOIN probes p ON s.bucket = p.bucket AND s.vec_id != 0
+ORDER BY sim DESC, s.vec_id ASC LIMIT 10
+""")
 def ann_topk_lsh_q(spark, sf_dir):
-    """LSH multi-probe ANN (approximate; rows-only check — recall vs the
-    brute-force baseline is asserted in pytest instead)."""
+    """LSH multi-probe ANN: probe the query's bucket + its 1-bit flips,
+    exact cosine within candidates, top-k on (rounded sim, id).  The
+    md5-derived hyperplane signature is shared bit-for-bit with the
+    `ann_lsh_buckets` oracle, so the probe set — and therefore the
+    candidate set — is identical in both engines; recall vs the
+    brute-force baseline is additionally asserted in pytest."""
     return embeddings.ann_topk_lsh(
         t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=8
     )
-
-REGISTRY["ann_topk_lsh"] = (ann_topk_lsh_q, None)
 
 
 # =====================================================================
@@ -760,15 +783,19 @@ REGISTRY["ann_topk_lsh"] = (ann_topk_lsh_q, None)
 
 @q("multimodal_features", """
 SELECT doc_id::BIGINT AS media_id,
-  octet_length(encode(text))::BIGINT AS n_bytes,
-  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-  (octet_length(encode(text)) % 640 + 1)::INTEGER AS width,
-  ((octet_length(encode(text)) * 7) % 480 + 1)::INTEGER AS height
+  (octet_length(encode(text)) +
+   CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 13 END)::BIGINT AS n_bytes,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+  (doc_id % 640 + 1)::INTEGER AS width,
+  ((doc_id * 7) % 480 + 1)::INTEGER AS height
 FROM documents
 """)
 def multimodal_features(spark, sf_dir):
-    """Binary-payload decode stub via Arrow mapInPandas (real plumbing,
-    deterministic fake codec — see crawlkit.multimodal)."""
+    """Real image-header codec via Arrow mapInPandas: `as_media` plants
+    genuine PNG/JPEG/GIF headers (dims derived from doc_id), the
+    extractor PARSES them back (PNG IHDR / JPEG SOFn scan / GIF screen
+    descriptor — crawlkit.multimodal.decode_image); the oracle predicts
+    the planted values arithmetically, so any parse bug hash-fails."""
     return multimodal.extract_features(
         multimodal.as_media(t(spark, sf_dir, "documents"))
     )

@@ -271,17 +271,60 @@ def test_lsh_bucket_histogram_total(spark, vecs):
 # ---------------------------------------------------------------------------
 # multimodal
 
-def test_multimodal_stub_plumbing(spark):
-    from crawlkit.multimodal import as_media, decode_image_stub, extract_features
+def test_decode_image_real_headers():
+    """decode_image parses genuine PNG/JPEG/GIF bytes, not planted ids."""
+    import zlib
+    from crawlkit.multimodal import decode_image, gif_header, jpeg_header
 
-    df = spark.createDataFrame([(1, "abc"), (2, "abcd")], ["doc_id", "text"])
+    # A complete, valid 1x1 white PNG (signature/IHDR/IDAT/IEND, real CRCs).
+    def chunk(tag, data):
+        import struct
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
+
+    import struct
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00\xff\xff\xff")
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    got = decode_image(png)
+    assert (got["format"], got["width"], got["height"]) == ("png", 1, 1)
+
+    # Baseline JPEG with APP0 before SOF0, and a progressive SOF2 variant.
+    jp = jpeg_header(123, 45) + b"\xff\xda\x00\x02" + b"entropy" + b"\xff\xd9"
+    got = decode_image(jp)
+    assert (got["format"], got["width"], got["height"]) == ("jpeg", 123, 45)
+    sof2 = bytearray(jpeg_header(320, 240))
+    sof2[sof2.index(b"\xff\xc0") + 1] = 0xC2
+    got = decode_image(bytes(sof2))
+    assert (got["format"], got["width"], got["height"]) == ("jpeg", 320, 240)
+
+    got = decode_image(gif_header(640, 480) + b"tail")
+    assert (got["format"], got["width"], got["height"]) == ("gif", 640, 480)
+
+    # Malformed payloads degrade per-row instead of raising.
+    for bad in (b"", b"not an image", b"\xff\xd8\xff", png[:20]):
+        got = decode_image(bad)
+        assert got["n_bytes"] == len(bad)
+        if got["format"] in ("unknown", "jpeg"):
+            assert got["width"] is None and got["height"] is None
+
+
+def test_multimodal_plumbing_roundtrip(spark):
+    """as_media plants real headers; extract_features must recover the
+    planted dims by parsing the bytes through the Arrow pipeline."""
+    from crawlkit.multimodal import as_media, extract_features, planted_dims
+
+    rows = [(i, "x" * (i + 3)) for i in range(9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = extract_features(as_media(df)).toPandas().set_index("media_id")
-    for mid, text in [(1, "abc"), (2, "abcd")]:
-        ref = decode_image_stub(text.encode())
-        assert out.loc[mid, "n_bytes"] == ref["n_bytes"]
-        assert out.loc[mid, "format"] == ref["format"]
-        assert out.loc[mid, "width"] == ref["width"]
-        assert out.loc[mid, "height"] == ref["height"]
+    hdr_len = {"png": 33, "jpeg": 39, "gif": 13}
+    for mid, text in rows:
+        fmt, w, h = planted_dims(mid)
+        assert out.loc[mid, "format"] == fmt
+        assert out.loc[mid, "width"] == w
+        assert out.loc[mid, "height"] == h
+        assert out.loc[mid, "n_bytes"] == hdr_len[fmt] + len(text.encode())
 
 
 # ---------------------------------------------------------------------------
