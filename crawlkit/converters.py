@@ -8,12 +8,14 @@ pure-Python doc tree (``doctree.py``), plus a Spark table surface
 DataFrame of bodies — the batch analog of ``POST /v1/converting``
 (`/root/reference/src/api.ts:159-190`).
 
-PDF parsing itself is stubbed (no pdf library in this container): the
-X12 ALGORITHM — per-page font-height histogram → heading levels 1-6,
-EOL line assembly, consecutive same-level heading merge
-(`/root/reference/src/converting.ts:43-145,172-216`) — is implemented
-faithfully over pre-parsed text items and fully tested; byte-level PDF
-decoding raises ``NotImplementedError`` until a parser is plugged in.
+PDF ingestion is fully real: byte-level decode via the pure-Python
+subset parser in :mod:`crawlkit.pdfkit` (classic objects, FlateDecode,
+BT/ET text operators, page-tree order) feeding the faithful X12
+ALGORITHM — per-page font-height histogram → heading levels 1-6, EOL
+line assembly, consecutive same-level heading merge
+(`/root/reference/src/converting.ts:43-145,172-216`).  Malformed
+bodies surface as per-row error rows (``Converted.error``), never as
+task-killing exceptions.
 """
 
 from __future__ import annotations
@@ -321,10 +323,14 @@ def convert_api(body: bytes, mime: str, seed: str = "") -> Converted:
         return Converted(title="", doc={}, error="body too large")
     try:
         doc = get_converter(mime)(body, seed=seed)
-    except UnsupportedMediaType as ex:
+    except (UnsupportedMediaType, NotImplementedError) as ex:
         return Converted(title="", doc={}, error=str(ex))
-    except NotImplementedError as ex:
-        return Converted(title="", doc={}, error=str(ex))
+    except ValueError as ex:
+        # per-row error contract: a malformed body (PdfParseError, bad
+        # UTF-8, …) must yield an error ROW, not kill the Spark task —
+        # the reference API likewise catches converter errors and
+        # returns a per-request error (src/api.ts:159-190)
+        return Converted(title="", doc={}, error=f"conversion failed: {ex}")
     return Converted(title=title_of(doc), doc=doc,
                      content_cbor=cborlite.dumps(doc))
 

@@ -251,21 +251,32 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
 
 
 def extract_text_items(body: bytes) -> list[list[PdfTextItem]]:
-    """Pages of pdfjs-shaped text items from raw PDF bytes."""
+    """Pages of pdfjs-shaped text items from raw PDF bytes.
+
+    Every parse failure surfaces as :class:`PdfParseError` — internal
+    ``ValueError``/``TypeError``/``IndexError`` from malformed input
+    (unterminated hex strings, non-octal escapes, non-numeric Tm
+    operands, truncated streams) are wrapped so callers see ONE
+    uniform failure type for their per-row error contract."""
     if not body.startswith(b"%PDF"):
         raise PdfParseError("not a PDF (missing %PDF header)")
-    objs = _scan_objects(body)
-    pages: list[list[PdfTextItem]] = []
-    for num in _page_order(objs):
-        items: list[PdfTextItem] = []
-        for ref in _content_refs(objs[num]):
-            target = objs.get(ref)
-            if target is None:
-                continue
-            stream = _object_stream(target)
-            if stream is not None:
-                items.extend(_items_of_stream(stream))
-        pages.append(items)
+    try:
+        objs = _scan_objects(body)
+        pages: list[list[PdfTextItem]] = []
+        for num in _page_order(objs):
+            items: list[PdfTextItem] = []
+            for ref in _content_refs(objs[num]):
+                target = objs.get(ref)
+                if target is None:
+                    continue
+                stream = _object_stream(target)
+                if stream is not None:
+                    items.extend(_items_of_stream(stream))
+            pages.append(items)
+    except PdfParseError:
+        raise
+    except (ValueError, TypeError, IndexError) as e:
+        raise PdfParseError(f"malformed PDF structure: {e}") from None
     if not pages:
         raise PdfParseError("no /Type /Page objects found")
     return pages

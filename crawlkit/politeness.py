@@ -15,8 +15,10 @@ sub-groups to the quota, then the final window over ``host`` ranks the
 ≤ salt×quota survivors — the heavy host's work is spread across `salt`
 tasks and the final window sees bounded input per host.
 
-Robots path rules are applied with built-in functions only
-(``parse_url`` + ``exists``/``startswith``) — JVM-side, codegen.
+Robots admission is RFC 9309 longest-match (``*``/``$`` wildcards,
+Allow overrides) via the Arrow-vectorized matcher in
+:mod:`crawlkit.robots`; path+query extraction stays JVM-side
+(``parse_url``), only the verdict crosses the Arrow boundary.
 """
 
 from __future__ import annotations
@@ -28,22 +30,31 @@ UNLIMITED_QUOTA = 1 << 30
 
 
 def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop candidates whose path hits a disallow prefix; attach
-    crawl_delay_ms.  Robots is a per-host dim table → broadcast join."""
+    """Drop candidates the host's robots rules exclude; attach
+    crawl_delay_ms.  Robots is a per-host dim table → broadcast join;
+    the verdict is RFC 9309 longest-match with full ``*``/``$``
+    wildcard support and Allow overriding shorter Disallows, evaluated
+    by the Arrow-vectorized matcher in :mod:`crawlkit.robots`
+    (compiled per distinct rule set, not per row).  Matching runs on
+    path+query — everything after the authority."""
+    from .robots import robots_allowed_udf  # local: avoids import cycle
+
     joined = candidates.join(F.broadcast(robots), "host", "left")
-    path = F.parse_url(F.col("url_canon"), F.lit("PATH"))
-    disallowed = F.when(
-        F.col("disallow_prefixes").isNull(), F.lit(False)
-    ).otherwise(
-        F.exists("disallow_prefixes", lambda p: path.startswith(p))
+    query = F.parse_url(F.col("url_canon"), F.lit("QUERY"))
+    path = F.concat(
+        F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("/")),
+        F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
+    admitted = robots_allowed_udf(
+        path, F.col("disallow_rules"), F.col("allow_rules")
+    )  # null rules (host without robots) → allowed
     return (
-        joined.where(~disallowed)
+        joined.where(admitted)
         .withColumn(
             "crawl_delay_ms",
             F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)),
         )
-        .drop("disallow_prefixes", "allow_prefixes")
+        .drop("disallow_rules", "allow_rules")
     )
 
 

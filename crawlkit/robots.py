@@ -1,26 +1,34 @@
-"""robots.txt parsing → the politeness dim table (T4 input).
+"""robots.txt parsing + RFC 9309 rule matching → the politeness dim (T4).
 
 The reference delegates robots handling to crawlee's fetcher
 (``/root/reference/src/crawler.ts:30``); the batch rebuild makes the
 rules an explicit broadcast dim (``politeness.robots_filter``).  This
-module produces that dim from raw robots.txt bodies: a pure-Python
-RFC 9309-subset parser plus an Arrow-vectorized Spark operator that
-turns a (host, robots_txt) frame — e.g. fetched /robots.txt pages —
-into the ``hostbudget`` table.
+module produces that dim from raw robots.txt bodies and owns the rule
+MATCHER the politeness filter applies per candidate URL.
 
-Parser scope (documented subset):
+RFC 9309 semantics implemented:
 
-* group selection per RFC 9309 §2.2.1: all groups whose user-agent
-  token matches; the LONGEST matching agent token wins, ``*`` is the
-  fallback; adjacent ``User-agent`` lines share one group.
-* ``Allow`` / ``Disallow`` path prefixes.  Wildcard rules are kept up
-  to the first ``*`` (the politeness filter is prefix-based); a bare
-  ``Disallow:`` (empty) means allow-all and adds no rule.
+* group selection per §2.2.1: all groups whose user-agent token
+  matches; the LONGEST matching agent token wins, ``*`` is the
+  fallback; adjacent ``User-agent`` lines share one group; multiple
+  groups at the winning specificity MERGE their rules.
+* ``Allow`` / ``Disallow`` path rules per §2.2.2 with full ``*``
+  wildcards (any position, any count) and ``$`` end-anchors;
+  precedence is MOST-OCTETS-of-rule (longest rule that matches wins),
+  with Allow winning ties — verified against the RFC's ``/fish*`` /
+  ``/*.php$`` example vectors in ``tests/test_robots.py``.  A bare
+  ``Disallow:`` (empty) adds no rule.  Matching runs against
+  path+query (everything after the authority).  Documented subset:
+  rules are compared codepoint-wise (no percent-encoding
+  normalization of the %2F corner case).
 * ``Crawl-delay`` seconds (int or float) → milliseconds.
 * Comments (``#``), blank lines, unknown directives ignored.
 """
 
 from __future__ import annotations
+
+import re
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -31,9 +39,11 @@ from .politeness import DEFAULT_CRAWL_DELAY_MS
 def parse_robots_txt(body: str | None, agent: str = "crawlkit") -> dict:
     """Parse one robots.txt body for ``agent``.
 
-    Returns ``{"disallow_prefixes": [...], "allow_prefixes": [...],
+    Returns ``{"disallow_rules": [...], "allow_rules": [...],
     "crawl_delay_ms": int}`` — exactly the ``hostbudget`` dim columns.
-    Missing/empty body → no rules, default delay (crawl allowed).
+    Rule strings are kept VERBATIM (wildcards included); matching is
+    :func:`path_allowed`.  Missing/empty body → no rules, default
+    delay (crawl allowed).
     """
     agent_lc = agent.lower()
     # groups: list of (agent_tokens, rules) where rules collects
@@ -94,25 +104,95 @@ def parse_robots_txt(body: str | None, agent: str = "crawlkit") -> dict:
     delay_ms = DEFAULT_CRAWL_DELAY_MS
     for key, value in merged_rules:
         if key == "disallow" and value:
-            disallow.append(value.split("*", 1)[0])
+            disallow.append(value)
         elif key == "allow" and value:
-            allow.append(value.split("*", 1)[0])
+            allow.append(value)
         elif key == "crawl-delay":
             try:
                 delay_ms = int(float(value) * 1000)
             except ValueError:
                 pass
     return {
-        "disallow_prefixes": disallow,
-        "allow_prefixes": allow,
+        "disallow_rules": disallow,
+        "allow_rules": allow,
         "crawl_delay_ms": delay_ms,
     }
 
 
+# ---------------------------------------------------------------------------
+# RFC 9309 §2.2.2 rule matching
+
+@lru_cache(maxsize=8192)
+def rule_regex(rule: str) -> re.Pattern:
+    """Compile one robots rule: ``*`` → any char sequence, trailing
+    ``$`` → end anchor, everything else literal; matches from the
+    start of the path."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+@lru_cache(maxsize=2048)
+def _matcher(disallow: tuple[str, ...], allow: tuple[str, ...]):
+    """Precedence-ordered first-match evaluator for one host's rules:
+    sort all rules by (rule octets DESC, Allow before Disallow) — the
+    first rule that matches decides; no match → allowed.  This is the
+    standard equivalent formulation of RFC 9309's 'most specific match
+    (most octets) wins, Allow wins ties'."""
+    rules = sorted(
+        [(len(r), 1, rule_regex(r)) for r in allow]
+        + [(len(r), 0, rule_regex(r)) for r in disallow],
+        key=lambda t: (-t[0], -t[1]),
+    )
+
+    def allowed(path: str) -> bool:
+        for _, is_allow, rx in rules:
+            if rx.match(path):
+                return bool(is_allow)
+        return True
+
+    return allowed
+
+
+def path_allowed(
+    path: str,
+    disallow_rules: tuple[str, ...] | list[str],
+    allow_rules: tuple[str, ...] | list[str] = (),
+) -> bool:
+    """Is ``path`` (path+query, leading '/') crawlable under the rules?"""
+    if not disallow_rules:
+        return True
+    return _matcher(tuple(disallow_rules), tuple(allow_rules or ()))(
+        path or "/"
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def robots_allowed_udf(
+    paths: pd.Series, disallow: pd.Series, allow: pd.Series
+) -> pd.Series:
+    """Arrow-vectorized verdict column for the politeness filter.
+    Per-host compiled matchers are cached across the batch (hosts
+    repeat heavily within a partition), so the regex compile cost is
+    once per distinct rule set, not per row."""
+
+    def one(p, d, a) -> bool:
+        if d is None or len(d) == 0:
+            return True
+        return path_allowed(
+            p if isinstance(p, str) else "/",
+            tuple(d),
+            tuple(a) if a is not None else (),
+        )
+
+    return pd.Series(map(one, paths, disallow, allow))
+
+
 _ROBOTS_STRUCT = T.StructType(
     [
-        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
-        T.StructField("allow_prefixes", T.ArrayType(T.StringType()), False),
+        T.StructField("disallow_rules", T.ArrayType(T.StringType()), False),
+        T.StructField("allow_rules", T.ArrayType(T.StringType()), False),
         T.StructField("crawl_delay_ms", T.LongType(), False),
     ]
 )
@@ -137,5 +217,5 @@ def robots_table(
 
     return fetched.select(
         F.col(host_col).alias("host"), parse_udf(F.col(body_col)).alias("r")
-    ).select("host", "r.crawl_delay_ms", "r.disallow_prefixes",
-             "r.allow_prefixes")  # HOSTBUDGET_SCHEMA column order
+    ).select("host", "r.crawl_delay_ms", "r.disallow_rules",
+             "r.allow_rules")  # HOSTBUDGET_SCHEMA column order

@@ -83,8 +83,8 @@ HOSTBUDGET_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("crawl_delay_ms", T.LongType(), False),
-        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), True),
-        T.StructField("allow_prefixes", T.ArrayType(T.StringType()), True),
+        T.StructField("disallow_rules", T.ArrayType(T.StringType()), True),
+        T.StructField("allow_rules", T.ArrayType(T.StringType()), True),
     ]
 )
 

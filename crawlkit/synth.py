@@ -218,8 +218,8 @@ def robots_records(cfg: SynthConfig) -> list[dict]:
             {
                 "host": host,
                 "crawl_delay_ms": int(rng.choice([0, 100, 250, 500, 1000, 2000])),
-                "disallow_prefixes": ["/private/"] if rng.random() < 0.5 else [],
-                "allow_prefixes": [],
+                "disallow_rules": ["/private/"] if rng.random() < 0.5 else [],
+                "allow_rules": [],
             }
         )
     return out

@@ -60,15 +60,38 @@ def simulate_crawl(
         candidates = {
             cu: v for cu, v in frontier.items() if cu not in sim.seen
         }
-        # robots + quota
+        # robots + quota (RFC 9309 longest-match, independent
+        # reimplementation of the engine's matcher: evaluate EVERY
+        # rule, keep the longest match per polarity, Allow wins ties)
+        def sim_allowed(path: str, rules: dict) -> bool:
+            import re as _re
+
+            def matches(rule: str) -> bool:
+                anchored = rule.endswith("$")
+                body = rule[:-1] if anchored else rule
+                rx = "".join(
+                    ".*" if ch == "*" else _re.escape(ch) for ch in body
+                )
+                return _re.match(rx + ("$" if anchored else ""), path) is not None
+
+            best_d = max(
+                (len(r) for r in rules["disallow_rules"] if matches(r)),
+                default=-1,
+            )
+            if best_d < 0:
+                return True
+            best_a = max(
+                (len(r) for r in rules["allow_rules"] if matches(r)),
+                default=-1,
+            )
+            return best_a >= best_d
+
         per_host: dict[str, list[tuple[int, str]]] = {}
         for cu, (src, depth, retry) in candidates.items():
             host = canon.url_host(cu)
             rules = robots.get(host)
             path = cu.split(host, 1)[1] if host in cu else cu
-            if rules and any(
-                path.startswith(p) for p in rules["disallow_prefixes"]
-            ):
+            if rules and not sim_allowed(path or "/", rules):
                 continue  # permanently excluded
             per_host.setdefault(host, []).append((depth, cu))
         selected: list[tuple[str, int, str]] = []

@@ -233,6 +233,57 @@ def test_convert_pdf_rejects_non_pdf():
         convert_pdf(b"%PDF-1.4 truncated garbage")
 
 
+MALFORMED_PDFS = [
+    # HTML error page served as application/pdf (fails the %PDF header)
+    b"<html><body><h1>502 Bad Gateway</h1></body></html>",
+    # unterminated hex string in a content stream (bytes.index ValueError)
+    b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+    b"4 0 obj\n<< /Length 30 >>\nstream\nBT /F1 10 Tf <deadbee Tj ET\nendstream\nendobj\n",
+    # non-hex chars inside a hex string (bytes.fromhex ValueError)
+    b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+    b"4 0 obj\n<< /Length 30 >>\nstream\nBT /F1 10 Tf <zzqq> Tj ET\nendstream\nendobj\n",
+    # \9 escape: isdigit but not octal (int(x, 8) ValueError)
+    b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+    b"4 0 obj\n<< /Length 30 >>\nstream\nBT /F1 10 Tf (bad\\9esc) Tj ET\nendstream\nendobj\n",
+]
+
+
+@pytest.mark.parametrize("body", MALFORMED_PDFS)
+def test_malformed_pdf_is_per_row_error_not_task_death(body):
+    """ADVICE r2: any malformed application/pdf body must come back as
+    Converted(error=...) — a uniform PdfParseError inside pdfkit, caught
+    by convert_api — never an unhandled exception that would kill a
+    whole Spark task in convert_table."""
+    from crawlkit.converters import convert_api
+    from crawlkit.pdfkit import PdfParseError, extract_text_items
+
+    with pytest.raises(PdfParseError):
+        extract_text_items(body)
+    out = convert_api(body, "application/pdf")
+    assert out.error is not None and out.doc == {}
+
+
+def test_convert_table_malformed_pdf_row(spark):
+    """End-to-end through the Arrow batch path: the bad-PDF row yields
+    an error row; the good rows still convert."""
+    from crawlkit.converters import convert_table
+
+    df = spark.createDataFrame(
+        [(1, b"<html>502</html>", "application/pdf"),
+         (2, b"fine text", "text/plain")],
+        "doc_id long, body binary, mime string",
+    )
+    out = convert_table(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "error"].startswith("conversion failed")
+    assert out.loc[2, "error"] is None and out.loc[2, "n_nodes"] > 1
+
+
 # ---------------------------------------------------------------------------
 # X14 dispatch + API
 

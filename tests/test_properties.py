@@ -99,8 +99,8 @@ def test_politeness_never_exceeds_quota_and_skew_spreads(spark):
     robots = spark.createDataFrame(
         [("mega.example", 1000, None, None)]
         + [(f"h{k}.example", 0, None, None) for k in range(7)],
-        "host string, crawl_delay_ms long, disallow_prefixes array<string>,"
-        "allow_prefixes array<string>",
+        "host string, crawl_delay_ms long, disallow_rules array<string>,"
+        "allow_rules array<string>",
     )
     selected, deferred = apply_politeness(cand, robots,
                                           round_duration_ms=60_000, salt=8)

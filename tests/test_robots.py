@@ -25,16 +25,16 @@ Crawl-delay: 10
 
 def test_group_selection_and_rules():
     r = parse_robots_txt(SAMPLE, agent="crawlkit")
-    assert r["disallow_prefixes"] == ["/private/", "/tmp/"]  # wildcard cut
-    assert r["allow_prefixes"] == ["/private/ok/"]
+    assert r["disallow_rules"] == ["/private/", "/tmp/*.log"]  # verbatim
+    assert r["allow_rules"] == ["/private/ok/"]
     assert r["crawl_delay_ms"] == 1500
     # unknown agent falls back to the * group
     r = parse_robots_txt(SAMPLE, agent="someone-else")
-    assert r["disallow_prefixes"] == ["/everyone-out/"]
+    assert r["disallow_rules"] == ["/everyone-out/"]
     assert r["crawl_delay_ms"] == 10_000
     # agent token matching is substring-based, longest token wins
     r = parse_robots_txt(SAMPLE, agent="Mozilla-compatible googlebot/2.1")
-    assert r["disallow_prefixes"] == ["/google-only/"]
+    assert r["disallow_rules"] == ["/google-only/"]
 
 
 def test_multiple_matching_groups_merge():
@@ -46,26 +46,97 @@ def test_multiple_matching_groups_merge():
         "User-agent: crawlkit\nDisallow: /b/\nCrawl-delay: 2\n"
     )
     r = parse_robots_txt(body, agent="crawlkit")
-    assert r["disallow_prefixes"] == ["/a/", "/b/"]
+    assert r["disallow_rules"] == ["/a/", "/b/"]
     assert r["crawl_delay_ms"] == 2000
     # a more specific token shadows the merged * groups entirely
     body2 = "User-agent: *\nDisallow: /x/\nUser-agent: crawlkit\nDisallow: /y/\n"
-    assert parse_robots_txt(body2, agent="crawlkit")["disallow_prefixes"] == ["/y/"]
+    assert parse_robots_txt(body2, agent="crawlkit")["disallow_rules"] == ["/y/"]
 
 
 def test_empty_and_edge_cases():
     assert parse_robots_txt(None) == {
-        "disallow_prefixes": [], "allow_prefixes": [],
+        "disallow_rules": [], "allow_rules": [],
         "crawl_delay_ms": DEFAULT_CRAWL_DELAY_MS,
     }
-    assert parse_robots_txt("")["disallow_prefixes"] == []
+    assert parse_robots_txt("")["disallow_rules"] == []
     # bare Disallow: (empty value) = allow all, adds no rule
     r = parse_robots_txt("User-agent: *\nDisallow:\nCrawl-delay: bogus")
-    assert r["disallow_prefixes"] == []
+    assert r["disallow_rules"] == []
     assert r["crawl_delay_ms"] == DEFAULT_CRAWL_DELAY_MS  # bad delay ignored
     # comments and case-insensitivity
     r = parse_robots_txt("USER-AGENT: CrawlKit # hi\nDISALLOW: /x/ # bye")
-    assert r["disallow_prefixes"] == ["/x/"]
+    assert r["disallow_rules"] == ["/x/"]
+
+
+def test_rfc9309_wildcard_matching():
+    """RFC 9309 §2.2.2 example vectors: full ``*`` anywhere, ``$`` end
+    anchor, longest-match (most octets) precedence, Allow wins ties."""
+    from crawlkit.robots import path_allowed
+
+    # '/fish*' is equivalent to '/fish' (prefix + wildcard tail)
+    for p in ("/fish", "/fishheads", "/fish/salmon.html", "/fish.php?id=2"):
+        assert not path_allowed(p, ["/fish*"])
+    for p in ("/Fish.asp", "/catfish", "/?id=fish"):
+        assert path_allowed(p, ["/fish*"])
+
+    # '/*.php$' anchors the end
+    for p in ("/filename.php", "/folder/filename.php"):
+        assert not path_allowed(p, ["/*.php$"])
+    for p in ("/filename.php?parameters", "/filename.php/", "/windows.PHP"):
+        assert path_allowed(p, ["/*.php$"])
+
+    # mid-pattern wildcard: '/fish*.php' (multi-segment)
+    assert not path_allowed("/fishheads/catfish.php?parameters", ["/fish*.php"])
+    assert path_allowed("/Fish.PHP", ["/fish*.php"])
+
+    # multiple wildcards in one rule
+    assert not path_allowed("/a/x/b/y/c", ["/a/*/b/*/c"])
+    assert path_allowed("/a/x/b/y", ["/a/*/b/*/c"])
+
+    # precedence: most octets of the matching rule wins
+    assert path_allowed("/page", ["/"], ["/p"])            # allow longer
+    assert path_allowed("/folder/page", ["/folder"], ["/folder"])  # tie → allow
+    assert not path_allowed("/page.htm", ["/*.htm"], ["/page"])    # disallow longer
+    assert path_allowed("/", ["/"], ["/$"])                # anchored allow wins /
+    assert not path_allowed("/page.htm", ["/"], ["/$"])    # anchor doesn't match
+
+    # a '$' not at the end is a literal character
+    assert not path_allowed("/a$b/x", ["/a$b/"])
+    # no rules → allowed; empty path treated as '/'
+    assert path_allowed("/anything", [])
+    assert not path_allowed("", ["/"])
+
+
+def test_allow_override_in_politeness_filter(spark):
+    """ADVICE r2: 'Allow: /private/ok/' inside 'Disallow: /private/'
+    must ADMIT the deeper path — allow_rules are evaluated now, not
+    dead weight in the dim."""
+    from pyspark.sql import functions as F
+
+    from crawlkit.politeness import apply_politeness
+    from crawlkit.sparkfns import with_url_identity
+
+    dim = robots_table(
+        spark.createDataFrame([("a.example", SAMPLE)],
+                              "host string, robots_txt string"),
+        agent="crawlkit",
+    )
+    cand = with_url_identity(
+        spark.createDataFrame(
+            [("https://a.example/private/ok/page",),
+             ("https://a.example/private/secret",),
+             ("https://a.example/tmp/build.log",),   # wildcard rule hits
+             ("https://a.example/tmp/build.txt",)],  # ...but not this one
+            "url string",
+        ).select("url", F.lit(0).alias("depth"),
+                 F.lit(None).cast("double").alias("priority"))
+    )
+    selected, _ = apply_politeness(cand, dim, round_duration_ms=60_000)
+    urls = {r.url_canon for r in selected.collect()}
+    assert "https://a.example/private/ok/page" in urls
+    assert "https://a.example/private/secret" not in urls
+    assert "https://a.example/tmp/build.log" not in urls
+    assert "https://a.example/tmp/build.txt" in urls
 
 
 def test_cli_crawl_with_raw_robots(spark, tmp_path, pages, synth_cfg,
@@ -88,7 +159,7 @@ def test_cli_crawl_with_raw_robots(spark, tmp_path, pages, synth_cfg,
     bodies = [
         (r["host"],
          "User-agent: crawlkit\n"
-         + "".join(f"Disallow: {p}\n" for p in r["disallow_prefixes"])
+         + "".join(f"Disallow: {p}\n" for p in r["disallow_rules"])
          + f"Crawl-delay: {r['crawl_delay_ms'] / 1000}\n")
         for r in robots_records(synth_cfg)
     ]
@@ -122,7 +193,7 @@ def test_robots_table_feeds_politeness(spark):
         [f.name for f in HOSTBUDGET_SCHEMA.fields]
     rows = {r.host: r for r in dim.collect()}
     assert rows["a.example"].crawl_delay_ms == 1500
-    assert rows["a.example"].disallow_prefixes == ["/private/", "/tmp/"]
+    assert rows["a.example"].disallow_rules == ["/private/", "/tmp/*.log"]
     assert rows["b.example"].crawl_delay_ms == DEFAULT_CRAWL_DELAY_MS
 
     cand = with_url_identity(
