@@ -844,8 +844,12 @@ def streaming_windowed_rollup(spark, sf_dir):
         F.col("ts").alias("fetched_ts"),
         F.lit(1).cast("int").alias("round"),
     )
+    from .storage import Warehouse
+
     base = tempfile.mkdtemp(prefix="crawlkit-stream-q-")
-    rows.write.mode("overwrite").parquet(f"{base}/results/round=1")
+    wh = Warehouse(base)
+    wh.write(rows, "results", 1)
+    wh.commit_round(1, {"results": wh.row_count("results", 1)})
     out = streaming.run_available_now(
         streaming.windowed_status_rollup(
             streaming.stream_results(spark, base), "1 day", "3 days"

@@ -19,29 +19,45 @@ catch-up runs, and under continuous micro-batches in production.
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .schema import RESULTS_SCHEMA
+from .storage import Warehouse
 
 
 def stream_results(spark: SparkSession, warehouse: str,
-                   max_files_per_trigger: int | None = None) -> DataFrame:
-    """readStream over the warehouse results table (all rounds').
+                   max_files_per_trigger: int | None = None,
+                   committed_only: bool = True) -> DataFrame:
+    """readStream over the warehouse results table.
 
-    NB: the file source sees shard files as they appear; round
-    atomicity for streaming readers comes from the same manifest
-    discipline as batch readers — point this at a committed-rounds
-    glob, or accept read-uncommitted tailing (the usual choice for
-    monitoring)."""
+    Default (``committed_only=True``): the source lists only rounds
+    recorded in the warehouse manifest at stream-construction time, so
+    a half-written (uncommitted) round is INVISIBLE — the same
+    snapshot-isolation contract batch readers get.  This is the right
+    mode for ``availableNow`` catch-up drains (build the stream fresh
+    per drain; each run picks up rounds committed since).
+
+    ``committed_only=False`` tails every shard file as it appears —
+    read-uncommitted, for live monitoring of an in-flight round only.
+    """
     reader = spark.readStream.schema(RESULTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.option("pathGlobFilter", "*.parquet").parquet(
-        f"{warehouse}/results/round=*"
-    )
+    reader = reader.option("pathGlobFilter", "*.parquet")
+    if not committed_only:
+        return reader.parquet(f"{warehouse}/results/round=*")
+    rounds = Warehouse(warehouse).committed_rounds("results")
+    if not rounds:
+        raise ValueError(
+            f"no committed 'results' rounds in {warehouse} — "
+            "commit a round first or pass committed_only=False"
+        )
+    alts = ",".join(str(r) for r in rounds)
+    return reader.parquet(f"{warehouse}/results/round={{{alts}}}")
 
 
 def windowed_status_rollup(
@@ -141,7 +157,11 @@ def run_available_now_collect(
     rows.  Unlike the memory sink, foreachBatch supports RESUMING from
     a checkpoint, so repeated calls with the same checkpoint process
     only new input — the cron/catch-up tailing pattern (and how the
-    tests prove state survives restarts)."""
+    tests prove state survives restarts).
+
+    COLLECTS TO THE DRIVER — test/inspection helper for bounded
+    deltas only.  The production drain is :func:`warehouse_sink`,
+    which writes each epoch to the warehouse instead."""
     rows: list = []
     q = (
         stream_df.writeStream.foreachBatch(
@@ -160,10 +180,13 @@ def run_available_now(
     stream_df: DataFrame, sink_table: str, checkpoint_dir: str,
     output_mode: str = "append",
 ) -> DataFrame:
-    """Drain everything currently available through the streaming plan
-    into an in-memory sink and return it as a DataFrame (deterministic
-    one-shot execution; also the catch-up pattern for cron-driven
-    tailing with a persistent checkpoint)."""
+    """ONE-SHOT/TESTING ONLY: drain everything currently available
+    through the streaming plan into an in-memory sink and return it as
+    a DataFrame.  The memory sink cannot recover from a checkpoint — a
+    second invocation reusing the same ``checkpoint_dir`` fails at
+    start.  For cron-driven catch-up with a persistent checkpoint use
+    :func:`run_available_now_collect` (driver-side rows) or
+    :func:`warehouse_sink` (the production drain)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(sink_table)
@@ -174,3 +197,38 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(sink_table)
+
+
+def epoch_batch_writer(warehouse: str, table: str):
+    """The idempotent micro-batch writer behind :func:`warehouse_sink`:
+    epoch N always (re)writes ``{table}/epoch=N`` with mode=overwrite,
+    so a replay after a mid-epoch crash (batch written, checkpoint not
+    yet advanced) rewrites the SAME directory instead of appending
+    duplicate rows — exactly-once output from at-least-once replay."""
+    root = Path(warehouse) / table
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(str(root / f"epoch={epoch_id}"))
+
+    return write_batch
+
+
+def warehouse_sink(
+    stream_df: DataFrame, warehouse: str, table: str, checkpoint_dir: str,
+    output_mode: str = "append",
+) -> str:
+    """PRODUCTION drain: checkpointed ``foreachBatch`` into a parquet
+    epoch layout under the warehouse.  Resumable (reuse the checkpoint
+    dir across cron invocations — only new input is processed) and
+    idempotent per epoch (see :func:`epoch_batch_writer`).  Returns the
+    sink root; read it back with
+    ``spark.read.parquet(f"{root}/epoch=*")``."""
+    q = (
+        stream_df.writeStream.foreachBatch(epoch_batch_writer(warehouse, table))
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return str(Path(warehouse) / table)

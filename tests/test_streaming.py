@@ -20,10 +20,16 @@ def _result_row(i: int, host: str, ts: dt.datetime, status: str = "ok",
             page_len, f"text {i}", "en", status, 0, ts, 1)
 
 
-def _write_batch(spark, warehouse: str, rows, round_no: int = 1) -> None:
+def _write_batch(spark, warehouse: str, rows, round_no: int = 1,
+                 commit: bool = True) -> None:
+    from crawlkit.storage import Warehouse
+
     spark.createDataFrame(rows, RESULTS_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(f"{warehouse}/results/round={round_no}")
+    if commit:
+        wh = Warehouse(warehouse)
+        wh.commit_round(round_no, {"results": wh.row_count("results", round_no)})
 
 
 T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
@@ -125,3 +131,98 @@ def test_host_budget_stateful_counter_continues(spark, tmp_path):
     assert a2.host_seq.tolist() == [4] and a2.admitted.tolist() == [False]
     b2 = second[second.host == "b.example"]
     assert b2.host_seq.tolist() == [2] and b2.admitted.tolist() == [True]
+
+
+def test_uncommitted_round_invisible_to_stream(spark, tmp_path):
+    """VERDICT r2 #5: the streaming reader's default is the same
+    snapshot isolation as batch — shard files of a round whose manifest
+    commit has not happened yet must NOT be emitted."""
+    import pytest as _pytest
+
+    from crawlkit.streaming import run_available_now_collect, stream_results
+
+    wh = str(tmp_path / "wh")
+    _write_batch(spark, wh, [_result_row(1, "a.example", T0)], round_no=1)
+    # round 2 staged but NOT committed
+    _write_batch(spark, wh, [_result_row(2, "a.example", T0)], round_no=2,
+                 commit=False)
+
+    got = run_available_now_collect(
+        stream_results(spark, wh).select("url_hash"),
+        str(tmp_path / "ckpt1"),
+    )
+    assert sorted(r.url_hash for r in got) == [1]  # round 2 invisible
+
+    # after commit, a fresh stream (new plan, new checkpoint) sees both
+    from crawlkit.storage import Warehouse
+
+    w = Warehouse(wh)
+    w.commit_round(2, {"results": w.row_count("results", 2)})
+    got = run_available_now_collect(
+        stream_results(spark, wh).select("url_hash"),
+        str(tmp_path / "ckpt2"),
+    )
+    assert sorted(r.url_hash for r in got) == [1, 2]
+
+    # read-uncommitted tailing remains an explicit opt-in
+    assert stream_results(spark, wh, committed_only=False) is not None
+
+    # no committed rounds at all → loud error, not a silent empty stream
+    with _pytest.raises(ValueError, match="no committed"):
+        stream_results(spark, str(tmp_path / "empty-wh"))
+
+
+def test_warehouse_sink_idempotent_across_restart(spark, tmp_path):
+    """VERDICT r2 #5: crash AFTER an epoch's parquet write but BEFORE
+    the checkpoint advances → the restarted query replays the epoch
+    with the same epoch id, the writer overwrites the same directory,
+    and the sink holds each input row exactly once."""
+    import pytest as _pytest
+
+    from crawlkit.streaming import (
+        epoch_batch_writer, stream_results, warehouse_sink,
+    )
+
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, wh, [
+        _result_row(1, "a.example", T0),
+        _result_row(2, "a.example", T0 + dt.timedelta(minutes=1)),
+    ])
+
+    # first attempt: the batch lands in the sink, then the query dies
+    # before the commit (simulated downstream failure)
+    writer = epoch_batch_writer(wh, "sink")
+
+    def crashy(df, epoch_id):
+        writer(df, epoch_id)
+        raise RuntimeError("injected crash after write, before commit")
+
+    q = (
+        stream_results(spark, wh).select("url_hash", "url_canon")
+        .writeStream.foreachBatch(crashy)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    first = spark.read.parquet(f"{wh}/sink/epoch=*")
+    assert first.count() == 2  # rows written despite the crash
+
+    # restart with the SAME checkpoint: epoch replayed idempotently
+    root = warehouse_sink(
+        stream_results(spark, wh).select("url_hash", "url_canon"),
+        wh, "sink", ckpt,
+    )
+    final = spark.read.parquet(f"{root}/epoch=*")
+    assert sorted(r.url_hash for r in final.collect()) == [1, 2]  # no dupes
+
+    # further catch-up run with new data: only the delta is processed
+    _write_batch(spark, wh, [_result_row(3, "b.example", T0)], round_no=2)
+    warehouse_sink(
+        stream_results(spark, wh).select("url_hash", "url_canon"),
+        wh, "sink", ckpt,
+    )
+    final = spark.read.parquet(f"{root}/epoch=*")
+    assert sorted(r.url_hash for r in final.collect()) == [1, 2, 3]
