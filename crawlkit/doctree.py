@@ -382,6 +382,19 @@ class _DocBuilder:
                               "text": element_text(el) or None},
                 })
                 return
+            if dtype in ("mathematics", "inline-math"):
+                # tiptap-pro Mathematics (src/tiptap.ts:66): the
+                # explicit-span form; latex from data-latex or the
+                # span's fallback text.  Plain-text '$…$'/'\(…\)' runs
+                # are handled in _inline_text.
+                from .htmlkit import element_text
+
+                latex = el.attrs.get("data-latex") or element_text(el)
+                buf.append({
+                    "type": "mathematics",
+                    "attrs": {"latex": latex, "delim": "$"},
+                })
+                return
             # Color/TextStyle (src/tiptap.ts:56,90): a styled span
             # carries its color on a textStyle mark; nested spans
             # REPLACE the inherited color — the innermost wins, like
@@ -411,6 +424,32 @@ class _DocBuilder:
 
     def _inline_text(self, data: str, marks: list[dict], buf: list[dict]) -> None:
         text = _collapse_ws(data)
+        if text == "":
+            return
+        # Mathematics (src/tiptap.ts:66): tiptap-pro scans text runs for
+        # LaTeX spans.  Conservative per-run detection: '$…$' with
+        # non-space, non-empty content (so '$5 and $10' stays text) and
+        # '\(…\)'.  The original delimiter is kept on the node so the
+        # plain-text projection reproduces the source bytes exactly.
+        if "$" in text or "\\(" in text:
+            pos = 0
+            for m in _MATH_RE.finditer(text):
+                if m.start() > pos:
+                    self._emit_text(text[pos:m.start()], marks, buf)
+                dollar = m.group(1) is not None
+                buf.append({
+                    "type": "mathematics",
+                    "attrs": {"latex": m.group(1) if dollar else m.group(2),
+                              "delim": "$" if dollar else "\\("},
+                })
+                pos = m.end()
+            if pos:
+                if pos < len(text):
+                    self._emit_text(text[pos:], marks, buf)
+                return
+        self._emit_text(text, marks, buf)
+
+    def _emit_text(self, text: str, marks: list[dict], buf: list[dict]) -> None:
         if text == "":
             return
         if text == " " and not buf:
@@ -480,6 +519,14 @@ def _code_text_content(pre: HElement) -> list[dict]:
 
 _ALIGN_RE = re.compile(r"text-align\s*:\s*(left|right|center|justify)", re.I)
 _COLOR_RE = re.compile(r"(?<![-\w])color\s*:\s*([^;]+)", re.I)
+
+# LaTeX spans inside plain text runs: '$…$' (no '$' inside, no space at
+# either content edge, not glued to a word/'$'/backslash on the left or
+# a word character on the right) or '\(…\)'.
+_MATH_RE = re.compile(
+    r"(?<![\\$\w])\$(?!\s)((?:\\.|[^$\n])+?)(?<!\s)\$(?!\w)"
+    r"|\\\((.+?)\\\)"
+)
 
 # TextAlign.configure types (src/tiptap.ts:81-89)
 _ALIGN_TYPES = frozenset(
@@ -642,7 +689,7 @@ def _render_inline(node: dict, out: list[str]) -> None:
     if node.get("type") == "image":
         _render_image(node, out)
         return
-    if node.get("type") in ("mention", "emoji"):
+    if node.get("type") in ("mention", "emoji", "mathematics"):
         _render_node(node, out)
         return
     text = _esc(node.get("text", ""))
@@ -777,6 +824,11 @@ def _render_node(node: dict, out: list[str]) -> None:
         out.append('<span data-type="emoji" '
                    f'data-name="{_esc_attr(attrs.get("name") or "")}">'
                    f"{_esc(attrs.get('text') or '')}</span>")
+    elif ntype == "mathematics":
+        attrs = node.get("attrs") or {}
+        latex = attrs.get("latex") or ""
+        out.append('<span data-type="mathematics" '
+                   f'data-latex="{_esc_attr(latex)}">{_esc(latex)}</span>')
     elif ntype == "horizontalRule":
         out.append("<hr>")
     elif ntype == "details":
@@ -861,6 +913,14 @@ def doc_to_text(doc: dict) -> str:
                 elif ctype == "emoji":
                     a = child.get("attrs") or {}
                     parts.append(a.get("text") or a.get("name") or "")
+                elif ctype == "mathematics":
+                    # reproduce the SOURCE bytes (delimiters included)
+                    # so extracted-text parity is unaffected by math
+                    # node recognition
+                    a = child.get("attrs") or {}
+                    d = a.get("delim") or "$"
+                    close = "\\)" if d == "\\(" else d
+                    parts.append(f"{d}{a.get('latex') or ''}{close}")
             line = "".join(parts)
             if line.strip() != "":
                 lines.append(line)

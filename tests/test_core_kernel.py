@@ -264,6 +264,49 @@ def test_whitespace_collapse():
     assert doc_to_text(doc) == "a b c"
 
 
+def test_mathematics_nodes_from_text_and_spans():
+    """X6 Mathematics (reference src/tiptap.ts:66): '$…$'/'\\(…\\)' text
+    spans and explicit data-type=mathematics spans become mathematics
+    nodes with a latex attr; the plain-text projection reproduces the
+    SOURCE bytes so extraction parity is unchanged."""
+    # dollar form in a plain text run
+    doc = parse_html_to_doc("<p>Euler: $e^{i\\pi}+1=0$ holds.</p>", seed="s")
+    inline = doc["content"][0]["content"]
+    assert [n["type"] for n in inline] == ["text", "mathematics", "text"]
+    assert inline[1]["attrs"]["latex"] == "e^{i\\pi}+1=0"
+    assert doc_to_text(doc) == "Euler: $e^{i\\pi}+1=0$ holds."
+    html = doc_to_html(doc)
+    assert 'data-type="mathematics" data-latex="e^{i\\pi}+1=0"' in html
+
+    # \( … \) form keeps ITS delimiters in the text projection
+    doc = parse_html_to_doc("<p>so \\(x^2\\) grows</p>", seed="s")
+    assert doc["content"][0]["content"][1]["type"] == "mathematics"
+    assert doc_to_text(doc) == "so \\(x^2\\) grows"
+
+    # explicit span form (data-latex wins over fallback text)
+    doc = parse_html_to_doc(
+        '<p>see <span data-type="mathematics" data-latex="\\frac{a}{b}">'
+        "a/b</span> here</p>",
+        seed="s",
+    )
+    m = doc["content"][0]["content"][1]
+    assert m["type"] == "mathematics"
+    assert m["attrs"]["latex"] == "\\frac{a}{b}"
+    assert doc_to_text(doc) == "see $\\frac{a}{b}$ here"
+
+    # currency amounts are NOT math ('$5 and $10' has space-adjacent
+    # content edges) — stays one text node
+    doc = parse_html_to_doc("<p>costs $5 and $10 today</p>", seed="s")
+    assert [n["type"] for n in doc["content"][0]["content"]] == ["text"]
+    assert doc_to_text(doc) == "costs $5 and $10 today"
+
+    # marks around the math run survive on neighboring text
+    doc = parse_html_to_doc("<p><em>let $x$ vary</em></p>", seed="s")
+    kinds = [n["type"] for n in doc["content"][0]["content"]]
+    assert kinds == ["text", "mathematics", "text"]
+    assert doc_to_text(doc) == "let $x$ vary"
+
+
 # -- cbor ---------------------------------------------------------------------
 
 
