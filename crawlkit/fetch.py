@@ -141,6 +141,7 @@ def fetch_extract_write(
     results_dir: str,
     round_no: int,
     fetched_ts,
+    n_selected: int | None = None,
 ) -> DataFrame:
     """Fetch-join + extraction that writes the WIDE results shard
     directly from each task via pyarrow and emits only NARROW rows.
@@ -219,31 +220,70 @@ def fetch_extract_write(
                 compression="zstd",
             )
 
-    return _join_pages(selected, pages).mapInPandas(run, NARROW_EXTRACTED_SCHEMA)
+    return _join_pages(selected, pages, n_selected).mapInPandas(
+        run, NARROW_EXTRACTED_SCHEMA
+    )
 
 
-def _join_pages(selected: DataFrame, pages: DataFrame) -> DataFrame:
+MAX_BROADCAST_KEYS = 1_000_000
+
+
+def _join_pages(selected: DataFrame, pages: DataFrame,
+                n_selected: int | None = None) -> DataFrame:
     """The J8 fetch join: selected frontier keys against the pages
-    table; output rebalanced for the CPU-bound extraction stage."""
+    table; output rebalanced for the CPU-bound extraction stage.
+
+    Shuffle hygiene — the MB-scale ``html`` column must NOT cross an
+    exchange.  A plain ``narrow LEFT JOIN pages`` cannot broadcast
+    (only the inner side of an outer join is broadcastable), so it
+    shuffles the whole pages scan — the dominant byte volume of a
+    round.  Instead:
+
+    * ``found``: pages INNER JOIN broadcast(narrow keys) — the html
+      bytes stay in their scan partitions, zero exchange;
+    * ``missing`` (dead links → fetch_failed): narrow keys LEFT ANTI
+      pages.url — a narrow-vs-narrow shuffle of key columns only (the
+      scan is column-pruned to ``url``).
+
+    When the selected set is too large to broadcast
+    (> ``MAX_BROADCAST_KEYS``; pass ``n_selected`` from the round's
+    already-computed count), falls back to the shuffled left join —
+    on a real deployment that regime is instead served by bucketing
+    both tables on ``xxhash64(url_canon)`` (Iceberg bucket transform)
+    so the join co-partitions with no exchange at any size.
+    """
+    from .dedupe import spread
+
     narrow = selected.select(
         F.col("url").alias("src"), "url_canon", "url_hash", "host", "depth"
     )
-    joined = narrow.join(
-        pages.select(
-            F.col("url").alias("page_url"),
-            F.col("html").alias("html_bytes"),
-            F.col("lang"),
-        ),
-        narrow.url_canon == F.col("page_url"),
-        "left",
+    pages_sel = pages.select(
+        F.col("url").alias("page_url"),
+        F.col("html").alias("html_bytes"),
+        F.col("lang"),
+    )
+    if n_selected is not None and n_selected > MAX_BROADCAST_KEYS:
+        joined = narrow.join(
+            pages_sel, narrow.url_canon == F.col("page_url"), "left"
+        ).drop("page_url")
+        return spread(joined)
+    found = pages_sel.join(
+        F.broadcast(narrow), F.col("url_canon") == F.col("page_url"), "inner"
     ).drop("page_url")
-    # The join output inherits the pages scan's split count; a small
+    missing = (
+        narrow.join(
+            pages_sel.select("page_url"),
+            narrow.url_canon == F.col("page_url"),
+            "left_anti",
+        )
+        .withColumn("html_bytes", F.lit(None).cast("binary"))
+        .withColumn("lang", F.lit(None).cast("string"))
+    )
+    # The found side inherits the pages scan's split count; a small
     # corpus (few parquet splits) would starve the CPU-bound extraction
     # stage.  spread() rebalances only when under-parallel — at cluster
     # scale the scan has plenty of splits and this is a no-op.
-    from .dedupe import spread
-
-    return spread(joined)
+    return spread(found.unionByName(missing))
 
 
 def fetch_extract(selected: DataFrame, pages: DataFrame) -> DataFrame:

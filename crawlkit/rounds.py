@@ -105,8 +105,11 @@ def bootstrap(
     frontier0 = _as_frontier(deduped, round_no=1)
     wh.write(frontier0, "frontier", 0)
     wh.write(robots, "hostbudget", 0)
-    n = frontier0.count()
-    wh.commit_round(0, {"frontier": n, "hostbudget": robots.count()})
+    # manifest row counts from the staged parquet FOOTERS — a
+    # .count() here would re-run the whole canonicalize+dedupe plan
+    # (the seed UDF pass twice per crawl), pure fixed overhead
+    wh.commit_round(0, {"frontier": wh.row_count("frontier", 0),
+                        "hostbudget": wh.row_count("hostbudget", 0)})
     return wh
 
 
@@ -220,7 +223,7 @@ def run_round(
     # downstream joins.
     extracted = fetch_extract_write(
         selected, pages, str(wh.round_path("results", round_no)),
-        round_no, cfg.now,
+        round_no, cfg.now, n_selected=metrics["selected"],
     ).persist()
 
     ok = extracted.where(F.col("status") == "ok")
@@ -365,4 +368,10 @@ def run_crawl(
         if m is None:
             break
         all_metrics.append(m)
+        # Manifest-metadata short-circuit: every round-(r+1) frontier row
+        # is part of round r's delta (bootstrap feeds round 1, deltas
+        # feed round+1 only), so an empty delta means the next round has
+        # no queued work — stop without scheduling its read+count jobs.
+        if m["frontier_delta"] == 0:
+            break
     return all_metrics

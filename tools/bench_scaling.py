@@ -3,8 +3,14 @@ efficiency >= 0.8 from N to 4N executors).
 
 No real cluster exists in this sandbox, so the same saturated crawl
 round — every page seeded, politeness unlimited, full fetch+extract —
-runs at local[N] and local[4N] on the SAME corpus; we report throughput
-at both and efficiency = (T_4N / T_N) / 4.
+runs at two parallelism levels on the SAME corpus; we report throughput
+at both and efficiency = (T_4N / T_N) / 4.  Two modes:
+
+* default: ``local[N]`` vs ``local[4N]`` (threads in one JVM);
+* ``--cluster``: ``local-cluster[N,1,M]`` vs ``local-cluster[4N,1,M]``
+  — REAL separate executor JVMs (one core each, own heap, own Python
+  workers) with true executor-boundary serialization and shuffle, the
+  closest in-sandbox proxy to N vs 4N executors under spark-submit.
 
 The corpus is generated ONCE (at full parallelism, untimed) and
 written to parquet; each timed session reads it cold.  Pages use the
@@ -21,6 +27,7 @@ Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -62,16 +69,41 @@ def _cpu_ticks() -> tuple[int, int]:
     return steal, sum(vals)
 
 
-def run_at(cores: int, n_pages: int, corpus_dir: str) -> dict:
+EXEC_MEM_MB = int(os.environ.get("CRAWLKIT_SCALE_EXEC_MEM_MB", "8192"))
+# cores per executor in --cluster mode; `cores` stays the TOTAL core
+# count so the two modes compare like for like.  2 cores/executor makes
+# the N→4N pair "1 executor → 4 executors" at n_small=2 — the literal
+# north-rule shape with real executor JVM boundaries.
+EXEC_CORES = int(os.environ.get("CRAWLKIT_SCALE_EXEC_CORES", "2"))
+
+
+def run_at(cores: int, n_pages: int, corpus_dir: str,
+           cluster: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from crawlkit.rounds import CrawlConfig, run_crawl
     from crawlkit.session import get_spark
     from crawlkit.synth import robots_df
 
+    if cluster:
+        n_exec = max(1, cores // EXEC_CORES)
+        master = f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]"
+        extra = {
+            "spark.executor.memory": f"{EXEC_MEM_MB - 512}m",
+            # the driver no longer hosts executor heaps in this mode
+            "spark.driver.memory": "8g",
+            # executor Python workers are separate processes with their
+            # own cwd — ship the package path the way spark-submit
+            # --py-files would
+            "spark.executorEnv.PYTHONPATH": str(
+                Path(__file__).resolve().parent.parent
+            ),
+        }
+    else:
+        master, extra = f"local[{cores}]", None
     spark = get_spark(
-        f"crawlkit-scale-{cores}", master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 8),
+        f"crawlkit-scale-{cores}", master=master,
+        shuffle_partitions=max(cores, 8), extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(corpus_dir)
@@ -100,6 +132,9 @@ def run_at(cores: int, n_pages: int, corpus_dir: str) -> dict:
 
 
 def main() -> None:
+    argv = [a for a in sys.argv[1:] if a != "--cluster"]
+    cluster = "--cluster" in sys.argv[1:]
+    sys.argv[1:] = argv
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
@@ -130,8 +165,8 @@ def main() -> None:
     # pair and as best-vs-best.
     smalls, bigs = [], []
     for _ in range(reps):
-        smalls.append(run_at(n_small, n_pages, corpus_dir))
-        bigs.append(run_at(n_small * 4, n_pages, corpus_dir))
+        smalls.append(run_at(n_small, n_pages, corpus_dir, cluster))
+        bigs.append(run_at(n_small * 4, n_pages, corpus_dir, cluster))
     if not keep_dir:
         shutil.rmtree(str(Path(corpus_dir).parent), ignore_errors=True)
     best_small = max(smalls, key=lambda r: r["pages_per_sec"])
@@ -142,6 +177,9 @@ def main() -> None:
     ]
     eff = round(best_big["pages_per_sec"] / best_small["pages_per_sec"] / 4, 3)
     print(json.dumps({
+        "mode": ("local-cluster[cores/%d,%d,%d]" % (EXEC_CORES, EXEC_CORES,
+                                                    EXEC_MEM_MB)
+                 if cluster else "local[N]"),
         "n_pages": n_pages,
         "small": best_small,
         "big": best_big,
