@@ -41,6 +41,23 @@ def _encode_head(major: int, value: int, out: bytearray) -> None:
 # per document — encode each once.  Bounded; values are tiny.
 _KEY_CACHE: dict[str, bytes] = {}
 
+# Key-ORDER memo: node dicts reuse a handful of key-tuple shapes
+# (("type","text"), ("type","attrs","content"), …).  The canonical
+# (encoded-bytes-sorted) visit order per shape is computed once, so the
+# per-dict sort + entry-tuple list disappear from the hot path.
+_ORDER_CACHE: dict[tuple, list[tuple[str, bytes]]] = {}
+
+
+def _key_bytes(key: str) -> bytes:
+    kbytes = _KEY_CACHE.get(key)
+    if kbytes is None:
+        kout = bytearray()
+        _encode_item(key, kout)
+        kbytes = bytes(kout)
+        if len(_KEY_CACHE) < 4096:
+            _KEY_CACHE[key] = kbytes
+    return kbytes
+
 
 def _encode_item(obj: object, out: bytearray) -> None:
     # hot path first: the doc tree is dicts/lists/strings
@@ -54,21 +71,39 @@ def _encode_item(obj: object, out: bytearray) -> None:
             _encode_head(3, n, out)
         out += data
     elif t is dict:
+        keys = tuple(obj)
+        order = _ORDER_CACHE.get(keys)
+        if order is not None:
+            n = len(order)
+            if n < 24:
+                out.append(0xA0 | n)
+            else:
+                _encode_head(5, n, out)
+            for key, kbytes in order:
+                out += kbytes
+                _encode_item(obj[key], out)
+            return
+        if all(type(k) is str for k in keys):
+            order = sorted(
+                ((k, _key_bytes(k)) for k in keys), key=lambda kv: kv[1]
+            )
+            if len(_ORDER_CACHE) < 4096:
+                _ORDER_CACHE[keys] = order
+            n = len(order)
+            if n < 24:
+                out.append(0xA0 | n)
+            else:
+                _encode_head(5, n, out)
+            for key, kbytes in order:
+                out += kbytes
+                _encode_item(obj[key], out)
+            return
+        # rare: non-string keys — full injective encoded-bytes sort
         entries = []
         for key, value in obj.items():
-            if type(key) is str:
-                kbytes = _KEY_CACHE.get(key)
-                if kbytes is None:
-                    kout = bytearray()
-                    _encode_item(key, kout)
-                    kbytes = bytes(kout)
-                    if len(_KEY_CACHE) < 4096:
-                        _KEY_CACHE[key] = kbytes
-            else:
-                kout = bytearray()
-                _encode_item(key, kout)
-                kbytes = bytes(kout)
-            entries.append((kbytes, value))
+            kout = bytearray()
+            _encode_item(key, kout)
+            entries.append((bytes(kout), value))
         # encodings are injective and map keys unique → no ties, the
         # value element is never compared
         entries.sort(key=lambda kv: kv[0])

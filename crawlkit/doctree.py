@@ -136,6 +136,11 @@ class DeterministicIds:
 
 
 def _collapse_ws(text: str) -> str:
+    # fast path: most runs contain no collapsible whitespace — three
+    # C-speed scans beat firing up the regex engine per text node
+    if "\n" not in text and "\t" not in text and "  " not in text \
+            and "\r" not in text and "\f" not in text:
+        return text
     return _WS_RE.sub(" ", text)
 
 
@@ -158,6 +163,8 @@ class _DocBuilder:
             # leading whitespace when the textblock is already open,
             # and implicit wrapping opens it after the text lands
             # (31 such paragraphs in sample/doc_cbor.json).
+            if not inline_buf:  # hot path: most block boundaries
+                return
             para = _make_paragraph(inline_buf, strip_leading=False)
             if para is not None:
                 blocks.append(para)
@@ -475,7 +482,9 @@ class _DocBuilder:
 
 
 def _make_paragraph(inline: list[dict], strip_leading: bool = True) -> dict | None:
-    content = _finish_inline(list(inline), strip_leading)
+    # no defensive copy: _finish_inline reads buf and returns a fresh
+    # slice; callers may clear() their buffer right after
+    content = _finish_inline(inline, strip_leading)
     if not content:
         return None
     return {"type": "paragraph", "content": content}
@@ -485,20 +494,36 @@ def _finish_inline(buf: list[dict], strip_leading: bool = True) -> list[dict]:
     """Close out an inline run (ProseMirror whitespace model): trailing
     whitespace is always stripped at the block end; leading whitespace
     is stripped only for explicitly-opened textblocks (p/heading/…) —
-    implicit wraps keep their single collapsed leading space."""
+    implicit wraps keep their single collapsed leading space.
+
+    Nodes are NOT copied (each inline node object flows into exactly
+    one tree position); only an edge text node whose text actually
+    changes is replaced by a fresh dict.  This was the hottest
+    allocation site in the kernel profile (one dict copy per node per
+    block close)."""
     # HTML whitespace is ASCII-only (collapsed to ' ' upstream): a
     # Unicode str.strip() here would eat &nbsp; (U+00A0), which the
     # reference keeps as real text.
-    out = [dict(n) for n in buf]
-    while out and out[-1].get("type") == "text" and out[-1]["text"].strip(" ") == "":
-        out.pop()
+    end = len(buf)
+    while end and buf[end - 1].get("type") == "text" \
+            and buf[end - 1]["text"].strip(" ") == "":
+        end -= 1
+    start = 0
     if strip_leading:
-        while out and out[0].get("type") == "text" and out[0]["text"].strip(" ") == "":
-            out.pop(0)
-        if out and out[0].get("type") == "text":
-            out[0]["text"] = out[0]["text"].lstrip(" ")
+        while start < end and buf[start].get("type") == "text" \
+                and buf[start]["text"].strip(" ") == "":
+            start += 1
+    out = buf[start:end]
+    if strip_leading and out and out[0].get("type") == "text":
+        t = out[0]["text"]
+        lt = t.lstrip(" ")
+        if lt != t:
+            out[0] = {**out[0], "text": lt}
     if out and out[-1].get("type") == "text":
-        out[-1]["text"] = out[-1]["text"].rstrip(" ")
+        t = out[-1]["text"]
+        rt = t.rstrip(" ")
+        if rt != t:
+            out[-1] = {**out[-1], "text": rt}
     return [n for n in out if not (n.get("type") == "text" and n["text"] == "")]
 
 

@@ -69,22 +69,48 @@ class HElement(HNode):
         return f"HElement(<{self.tag}> {len(self.children)} children)"
 
 
+class HRoot(HElement):
+    """Parse root carrying a document-order tag index built during the
+    single parse pass, so ``$(tag)`` lookups (h1/h2/head/a/script — the
+    kernel does five per page) are dict reads instead of five full-tree
+    DFS walks.  ``remove_all`` keeps the index consistent; removed
+    subtrees cannot hide indexed elements because raw-text elements
+    (script/style) have no element children."""
+
+    __slots__ = ("tag_index",)
+
+    def __init__(self) -> None:
+        super().__init__("#root")
+        self.tag_index: dict[str, list[HElement]] = {}
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.root = HElement("#root")
+        self.root = HRoot()
         self.stack: list[HElement] = [self.root]
+        self._index = self.root.tag_index
 
     # -- tag handling ---------------------------------------------------
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         el = HElement(tag, {k: (v if v is not None else "") for k, v in attrs})
         self.stack[-1].append(el)
+        bucket = self._index.get(tag)
+        if bucket is None:
+            self._index[tag] = [el]
+        else:
+            bucket.append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         el = HElement(tag, {k: (v if v is not None else "") for k, v in attrs})
         self.stack[-1].append(el)
+        bucket = self._index.get(tag)
+        if bucket is None:
+            self._index[tag] = [el]
+        else:
+            bucket.append(el)
 
     def handle_endtag(self, tag: str) -> None:
         # Lenient recovery: close up to the nearest matching open element;
@@ -122,7 +148,12 @@ def iter_elements(root: HElement):
 
 
 def find_all(root: HElement, tag: str) -> list[HElement]:
-    """``$(tag)`` — all elements with the tag, in document order."""
+    """``$(tag)`` — all elements with the tag, in document order.
+    O(1) off the parse-time index when ``root`` is the parse root
+    (append order during parse IS pre-order document order); DFS for
+    arbitrary subtrees."""
+    if isinstance(root, HRoot) and root.tag_index is not None:
+        return list(root.tag_index.get(tag, ()))
     return [el for el in iter_elements(root) if el.tag == tag]
 
 
@@ -162,6 +193,15 @@ def remove_all(root: HElement, tag: str) -> None:
     for el in find_all(root, tag):
         if el.parent is not None:
             el.parent.remove_child(el)
+    if isinstance(root, HRoot) and root.tag_index is not None:
+        if tag in RAW_TEXT_ELEMENTS:
+            # raw-text elements have no element children — no other
+            # index bucket can reference a detached descendant
+            root.tag_index.pop(tag, None)
+        else:
+            # removing a container could orphan indexed descendants;
+            # invalidate the index so find_all falls back to DFS
+            root.tag_index = None
 
 
 # -- serialisation -------------------------------------------------------
@@ -196,12 +236,31 @@ def inner_html(el: HElement) -> str:
     return "".join(out)
 
 
+def _utf8_len(s: str) -> int:
+    """UTF-8 byte length without materializing the bytes for the
+    overwhelmingly-common ASCII case."""
+    return len(s) if s.isascii() else len(s.encode("utf-8"))
+
+
+def _escaped_utf8_len(s: str, quote: bool = False) -> int:
+    """UTF-8 byte length of ``html.escape(s, quote)`` computed by
+    COUNTING, never building the escaped string or its bytes:
+    ``&``→``&amp;`` (+4), ``<``→``&lt;``/``>``→``&gt;`` (+3), and with
+    ``quote``, ``"``→``&quot;`` and ``'``→``&#x27;`` (+5 each)."""
+    n = _utf8_len(s) + 4 * s.count("&") + 3 * s.count("<") + 3 * s.count(">")
+    if quote:
+        n += 5 * s.count('"') + 5 * s.count("'")
+    return n
+
+
 def outer_html_utf8_len(el: HElement) -> int:
     """UTF-8 byte length of ``outer_html(el)`` WITHOUT building the
     string.  The kernel stores only the serialized-page length
     (reference caps cells at 1 MiB, model.ts:7); serializing a ~300 KB
     DOM into a throwaway string per page was pure memory-bandwidth
-    waste — the scaling bottleneck on a shared bus."""
+    waste — the scaling bottleneck on a shared bus.  Round 3: lengths
+    come from C-speed ``str.count`` arithmetic (no escaped-string or
+    bytes allocation per node either)."""
     total = 0
     stack: list[HNode] = (
         list(reversed(el.children)) if el.tag == "#root" else [el]
@@ -211,16 +270,15 @@ def outer_html_utf8_len(el: HElement) -> int:
         if isinstance(node, HText):
             parent = node.parent
             if parent is not None and parent.tag in RAW_TEXT_ELEMENTS:
-                total += len(node.data.encode("utf-8"))
+                total += _utf8_len(node.data)
             else:
-                total += len(escape(node.data, quote=False).encode("utf-8"))
+                total += _escaped_utf8_len(node.data)
             continue
         e = node  # HElement
-        tag_bytes = len(e.tag.encode("utf-8"))  # names can be non-ASCII
+        tag_bytes = _utf8_len(e.tag)  # names can be non-ASCII
         total += tag_bytes + 2  # '<tag>'
         for k, v in e.attrs.items():
-            total += (len(k.encode("utf-8")) + 4
-                      + len(escape(v, quote=True).encode("utf-8")))
+            total += _utf8_len(k) + 4 + _escaped_utf8_len(v, quote=True)
         if e.tag in VOID_ELEMENTS:
             continue
         total += tag_bytes + 3  # '</tag>'
