@@ -73,6 +73,12 @@ def _encode_item(obj: object, out: bytearray) -> None:
     elif t is dict:
         keys = tuple(obj)
         order = _ORDER_CACHE.get(keys)
+        if order is None and all(type(k) is str for k in keys):
+            order = sorted(
+                ((k, _key_bytes(k)) for k in keys), key=lambda kv: kv[1]
+            )
+            if len(_ORDER_CACHE) < 4096:
+                _ORDER_CACHE[keys] = order
         if order is not None:
             n = len(order)
             if n < 24:
@@ -81,22 +87,17 @@ def _encode_item(obj: object, out: bytearray) -> None:
                 _encode_head(5, n, out)
             for key, kbytes in order:
                 out += kbytes
-                _encode_item(obj[key], out)
-            return
-        if all(type(k) is str for k in keys):
-            order = sorted(
-                ((k, _key_bytes(k)) for k in keys), key=lambda kv: kv[1]
-            )
-            if len(_ORDER_CACHE) < 4096:
-                _ORDER_CACHE[keys] = order
-            n = len(order)
-            if n < 24:
-                out.append(0xA0 | n)
-            else:
-                _encode_head(5, n, out)
-            for key, kbytes in order:
-                out += kbytes
-                _encode_item(obj[key], out)
+                v = obj[key]
+                if type(v) is str:  # inline leaf fast path
+                    data = v.encode("utf-8")
+                    n = len(data)
+                    if n < 24:
+                        out.append(0x60 | n)
+                    else:
+                        _encode_head(3, n, out)
+                    out += data
+                else:
+                    _encode_item(v, out)
             return
         # rare: non-string keys — full injective encoded-bytes sort
         entries = []
@@ -118,7 +119,16 @@ def _encode_item(obj: object, out: bytearray) -> None:
         else:
             _encode_head(4, n, out)
         for item in obj:
-            _encode_item(item, out)
+            if type(item) is str:  # inline leaf fast path
+                data = item.encode("utf-8")
+                n = len(data)
+                if n < 24:
+                    out.append(0x60 | n)
+                else:
+                    _encode_head(3, n, out)
+                out += data
+            else:
+                _encode_item(item, out)
     elif obj is None:
         out.append(0xF6)
     elif obj is True:

@@ -105,12 +105,15 @@ class DeterministicIds:
 
     def __init__(self, seed: str) -> None:
         self.seed = seed
+        self._prefix = seed.encode("utf-8") + b"\x00"  # hot-path preencode
         self.counter = 0
         self.ids: set[str] = set()
 
     def _gen(self) -> str:
+        # byte-identical to blake2b(f"{seed}\x00{counter}".encode()):
+        # ASCII decimal counter, preencoded seed prefix
         digest = hashlib.blake2b(
-            f"{self.seed}\x00{self.counter}".encode("utf-8"), digest_size=8
+            self._prefix + b"%d" % self.counter, digest_size=8
         ).digest()
         n = int.from_bytes(digest, "big")
         chars = []
@@ -504,6 +507,8 @@ def _finish_inline(buf: list[dict], strip_leading: bool = True) -> list[dict]:
     # HTML whitespace is ASCII-only (collapsed to ' ' upstream): a
     # Unicode str.strip() here would eat &nbsp; (U+00A0), which the
     # reference keeps as real text.
+    if not buf:
+        return buf
     end = len(buf)
     while end and buf[end - 1].get("type") == "text" \
             and buf[end - 1]["text"].strip(" ") == "":
@@ -524,7 +529,10 @@ def _finish_inline(buf: list[dict], strip_leading: bool = True) -> list[dict]:
         rt = t.rstrip(" ")
         if rt != t:
             out[-1] = {**out[-1], "text": rt}
-    return [n for n in out if not (n.get("type") == "text" and n["text"] == "")]
+    # no empty-text filter needed: builders never emit ''-text nodes and
+    # the edge strips above cannot produce one (all-space edges were
+    # popped by the while loops)
+    return out
 
 
 def _trim_inline(buf: list[dict]) -> list[dict]:

@@ -93,8 +93,11 @@ class _TreeBuilder(HTMLParser):
 
     # -- tag handling ---------------------------------------------------
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
-        el = HElement(tag, {k: (v if v is not None else "") for k, v in attrs})
-        self.stack[-1].append(el)
+        el = HElement(tag, {k: (v if v is not None else "") for k, v in attrs}
+                      if attrs else None)
+        parent = self.stack[-1]
+        el.parent = parent
+        parent.children.append(el)
         bucket = self._index.get(tag)
         if bucket is None:
             self._index[tag] = [el]
@@ -104,8 +107,11 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
-        el = HElement(tag, {k: (v if v is not None else "") for k, v in attrs})
-        self.stack[-1].append(el)
+        el = HElement(tag, {k: (v if v is not None else "") for k, v in attrs}
+                      if attrs else None)
+        parent = self.stack[-1]
+        el.parent = parent
+        parent.children.append(el)
         bucket = self._index.get(tag)
         if bucket is None:
             self._index[tag] = [el]
