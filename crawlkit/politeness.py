@@ -71,15 +71,27 @@ def host_quota_col(round_duration_ms: int) -> F.Column:
     )
 
 
-def apply_politeness(
+def politeness_ranked(
     candidates: DataFrame,
     robots: DataFrame,
     round_duration_ms: int = 60_000,
     salt: int = 8,
-) -> tuple[DataFrame, DataFrame]:
-    """→ (selected, deferred).  Selected carries ``host_rank`` (the
-    deterministic within-host crawl order); deferred rows wait for the
-    next round (their politeness budget is exhausted this round)."""
+) -> DataFrame:
+    """ONE frame carrying the full politeness verdict: every robots-
+    admitted candidate row plus ``host_rank`` (the deterministic
+    within-host crawl order, null for salt-pruned rows) and
+    ``is_selected``.  Selected and deferred are cheap filters of this
+    frame — persist THIS once per round and the robots verdict UDF (the
+    most expensive narrow stage) evaluates exactly once, instead of once
+    per derived branch.
+
+    Skew note: both windows stay salt-bounded.  Stage 1 ranks within
+    ``(host, pmod(url_hash, salt))``.  Stage 2 must rank the stage-1
+    survivors per host WITHOUT funnelling a mega-host's full candidate
+    list into one task, so its partition key is ``host`` plus a selector
+    that is a single constant for survivors (≤ salt×quota rows — the
+    bounded set that needs a total order) but keeps the pruned rows
+    spread across their salt sub-groups (their rank is never used)."""
     c = robots_filter(candidates, robots).withColumn(
         "host_quota", host_quota_col(round_duration_ms)
     )
@@ -88,20 +100,37 @@ def apply_politeness(
     salted = Window.partitionBy("host", F.pmod(F.col("url_hash"), F.lit(salt))).orderBy(
         *order
     )
-    stage1 = c.withColumn("salt_rank", F.row_number().over(salted)).where(
-        F.col("salt_rank") <= F.col("host_quota")
+    staged = c.withColumn(
+        "salt_ok", F.row_number().over(salted) <= F.col("host_quota")
     )
 
-    per_host = Window.partitionBy("host").orderBy(*order)
-    ranked = stage1.withColumn("host_rank", F.row_number().over(per_host))
+    survivor_part = F.when(F.col("salt_ok"), F.lit(-1)).otherwise(
+        F.pmod(F.col("url_hash"), F.lit(salt))
+    )
+    per_host = Window.partitionBy("host", survivor_part).orderBy(*order)
+    ranked = staged.withColumn(
+        "host_rank",
+        F.when(F.col("salt_ok"), F.row_number().over(per_host)).cast("int"),
+    )
+    return ranked.withColumn(
+        "is_selected",
+        F.col("salt_ok") & (F.col("host_rank") <= F.col("host_quota")),
+    ).drop("salt_ok", "host_quota", "crawl_delay_ms")
 
-    selected = ranked.where(F.col("host_rank") <= F.col("host_quota")).drop(
-        "salt_rank", "host_quota", "crawl_delay_ms"
-    )
-    # Deferred = everything admitted by robots but over quota.  Recompute
-    # membership by anti-joining the selected urls (cheap: selected is
-    # the small side within a round).
-    deferred = c.drop("host_quota", "crawl_delay_ms").join(
-        selected.select("url_hash"), "url_hash", "left_anti"
-    )
+
+def apply_politeness(
+    candidates: DataFrame,
+    robots: DataFrame,
+    round_duration_ms: int = 60_000,
+    salt: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (selected, deferred).  Selected carries ``host_rank`` (the
+    deterministic within-host crawl order); deferred rows wait for the
+    next round (their politeness budget is exhausted this round).  Both
+    halves are filters over :func:`politeness_ranked` — callers that
+    materialize both should persist the ranked frame (as ``rounds.py``
+    does) so the robots verdict runs once."""
+    ranked = politeness_ranked(candidates, robots, round_duration_ms, salt)
+    selected = ranked.where(F.col("is_selected")).drop("is_selected")
+    deferred = ranked.where(~F.col("is_selected")).drop("is_selected", "host_rank")
     return selected, deferred

@@ -14,13 +14,22 @@ RFC 9309 semantics implemented:
   groups at the winning specificity MERGE their rules.
 * ``Allow`` / ``Disallow`` path rules per §2.2.2 with full ``*``
   wildcards (any position, any count) and ``$`` end-anchors;
-  precedence is MOST-OCTETS-of-rule (longest rule that matches wins),
-  with Allow winning ties — verified against the RFC's ``/fish*`` /
-  ``/*.php$`` example vectors in ``tests/test_robots.py``.  A bare
-  ``Disallow:`` (empty) adds no rule.  Matching runs against
-  path+query (everything after the authority).  Documented subset:
-  rules are compared codepoint-wise (no percent-encoding
-  normalization of the %2F corner case).
+  precedence is MOST-OCTETS-of-rule (rule length counted in UTF-8
+  OCTETS, not code points — a multi-byte rule outranks a shorter-in-
+  characters ASCII rule iff it has more bytes), with Allow winning
+  ties — verified against the RFC's ``/fish*`` / ``/*.php$`` example
+  vectors in ``tests/test_robots.py``.  A bare ``Disallow:`` (empty)
+  adds no rule.  Matching runs against path+query (everything after
+  the authority).
+* Percent-encoding normalization per §2.2.2 / RFC 3986: before
+  comparison, percent-encoded unreserved US-ASCII octets are decoded
+  (``%41`` ≡ ``A``) on BOTH the rule and the path; percent-encoded
+  RESERVED octets stay encoded with uppercased hex (``%2f`` → ``%2F``
+  ≠ ``/`` — the RFC's explicit corner), as do non-ASCII octets
+  (``%C3%A9``); raw non-ASCII characters are percent-encoded so both
+  sides compare in the same octet alphabet.  ``*``/``$`` are reserved
+  characters, so an encoded ``%2A``/``%24`` can never become a
+  wildcard or anchor.
 * ``Crawl-delay`` seconds (int or float) → milliseconds.
 * Comments (``#``), blank lines, unknown directives ignored.
 """
@@ -122,14 +131,73 @@ def parse_robots_txt(body: str | None, agent: str = "crawlkit") -> dict:
 # ---------------------------------------------------------------------------
 # RFC 9309 §2.2.2 rule matching
 
+# RFC 3986 §2.2 reserved characters: a percent-encoded reserved octet is
+# NOT equivalent to its literal form (``%2F`` ≠ ``/``), so normalization
+# must keep it encoded.  ``*`` and ``$`` being reserved also guarantees
+# normalization can never mint a wildcard/anchor out of an escape.
+_RESERVED = frozenset(b":/?#[]@!$&'()*+,;=")
+_HEX = frozenset(b"0123456789abcdefABCDEF")
+
+
+@lru_cache(maxsize=16384)
+def normalize_octets(s: str) -> str:
+    """Normalize a rule or a path to RFC 9309 comparison form, octet by
+    octet over its UTF-8 encoding:
+
+    * ``%XX`` where XX decodes to an UNRESERVED US-ASCII octet → the
+      literal character (``%41`` → ``A``);
+    * ``%XX`` for reserved or non-ASCII octets → kept, hex uppercased
+      (``%2f`` → ``%2F``; ``%c3%a9`` → ``%C3%A9``);
+    * raw non-ASCII octets → percent-encoded (``é`` → ``%C3%A9``), so
+      rule and path compare in one alphabet;
+    * malformed ``%`` (no two hex digits) → literal.
+
+    The result is pure ASCII, so ``len()`` of a normalized RULE equals
+    its octet count — the §2.2.2 'most octets' precedence metric."""
+    data = s.encode("utf-8")
+    out: list[str] = []
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b == 0x25 and i + 2 < n and data[i + 1] in _HEX and data[i + 2] in _HEX:
+            v = int(data[i + 1 : i + 3], 16)
+            if v < 0x80 and v not in _RESERVED and v != 0x25:
+                out.append(chr(v))
+            else:
+                out.append("%%%02X" % v)
+            i += 3
+        elif b >= 0x80:
+            out.append("%%%02X" % b)
+            i += 1
+        else:
+            out.append(chr(b))
+            i += 1
+    return "".join(out)
+
+
+@lru_cache(maxsize=16384)
+def normalize_path(path: str) -> str:
+    """Path-side comparison form: :func:`normalize_octets` plus raw
+    ``*`` / ``$`` percent-encoded.  In a RULE those two are
+    metacharacters (wildcard / anchor); in a PATH they are literal
+    URL sub-delims, and a rule can only spell them as ``%2A`` /
+    ``%24`` — so the path must carry the encoded form to match."""
+    return normalize_octets(path).replace("*", "%2A").replace("$", "%24")
+
+
 @lru_cache(maxsize=8192)
 def rule_regex(rule: str) -> re.Pattern:
-    """Compile one robots rule: ``*`` → any char sequence, trailing
-    ``$`` → end anchor, everything else literal; matches from the
-    start of the path."""
+    """Compile one (normalized) robots rule: ``*`` → any char sequence,
+    trailing ``$`` → end anchor, everything else literal; matches from
+    the start of the path.  A NON-trailing raw ``$`` is a literal per
+    RFC 9309, and the path comparison form carries literal ``$`` as
+    ``%24`` — so it compiles to that escape."""
     anchored = rule.endswith("$")
     body = rule[:-1] if anchored else rule
-    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    rx = "".join(
+        ".*" if ch == "*" else "%24" if ch == "$" else re.escape(ch)
+        for ch in body
+    )
     return re.compile("^" + rx + ("$" if anchored else ""))
 
 
@@ -139,16 +207,22 @@ def _matcher(disallow: tuple[str, ...], allow: tuple[str, ...]):
     sort all rules by (rule octets DESC, Allow before Disallow) — the
     first rule that matches decides; no match → allowed.  This is the
     standard equivalent formulation of RFC 9309's 'most specific match
-    (most octets) wins, Allow wins ties'."""
+    (most octets) wins, Allow wins ties'.  Rules are normalized
+    (percent-encoding comparison form) before compiling; the octet
+    count is taken from the normalized form, whose ASCII length IS its
+    octet length."""
+    norm_a = [normalize_octets(r) for r in allow]
+    norm_d = [normalize_octets(r) for r in disallow]
     rules = sorted(
-        [(len(r), 1, rule_regex(r)) for r in allow]
-        + [(len(r), 0, rule_regex(r)) for r in disallow],
+        [(len(r), 1, rule_regex(r)) for r in norm_a]
+        + [(len(r), 0, rule_regex(r)) for r in norm_d],
         key=lambda t: (-t[0], -t[1]),
     )
 
     def allowed(path: str) -> bool:
+        p = normalize_path(path)
         for _, is_allow, rx in rules:
-            if rx.match(path):
+            if rx.match(p):
                 return bool(is_allow)
         return True
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import schema
 from .fetch import fetch_extract_write
-from .politeness import apply_politeness
+from .politeness import politeness_ranked
 from .sparkfns import with_url_identity
 from .storage import Warehouse
 from .synth import EPOCH
@@ -205,13 +205,18 @@ def run_round(
     # politeness split references it for both selected and deferred.
     new_cand = probe(cand).persist()
 
-    # W2/T4 politeness.  Both halves persisted — deferred feeds the
-    # link anti-join AND the next-round frontier.
-    selected, deferred = apply_politeness(
+    # W2/T4 politeness.  The RANKED frame is what gets persisted:
+    # selected and deferred are both cheap filters over it, so the
+    # robots verdict UDF (broadcast dim join + Arrow matcher — the most
+    # expensive narrow stage) materializes exactly once per round
+    # instead of once per branch.
+    ranked = politeness_ranked(
         new_cand, robots, cfg.round_duration_ms, cfg.salt
+    ).persist()
+    selected = ranked.where(F.col("is_selected")).drop("is_selected")
+    deferred = ranked.where(~F.col("is_selected")).drop(
+        "is_selected", "host_rank"
     )
-    selected = selected.persist()
-    deferred = deferred.persist()
     metrics["selected"] = selected.count()
     tick("probe+politeness+selected.count")
 
@@ -340,7 +345,7 @@ def run_round(
             "metrics": metrics_rows,
         },
     )
-    for df in (queued, new_cand, selected, deferred, extracted, new_seen):
+    for df in (queued, new_cand, ranked, extracted, new_seen):
         df.unpersist()
     return metrics
 

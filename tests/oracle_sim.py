@@ -62,28 +62,56 @@ def simulate_crawl(
         }
         # robots + quota (RFC 9309 longest-match, independent
         # reimplementation of the engine's matcher: evaluate EVERY
-        # rule, keep the longest match per polarity, Allow wins ties)
+        # rule, keep the longest match per polarity, Allow wins ties;
+        # precedence counts RULE OCTETS — len of the normalized ASCII
+        # comparison form, which equals the rule's UTF-8 byte count)
+        def sim_normalize(s: str) -> str:
+            # regex-substitution formulation (engine uses a byte loop):
+            # first escape raw non-ASCII to %XX, then fold %XX escapes —
+            # unreserved ASCII decodes, everything else uppercases.
+            import re as _re
+
+            reserved = set(":/?#[]@!$&'()*+,;=%")
+            s = "".join(
+                ch if ord(ch) < 0x80 else
+                "".join("%%%02X" % b for b in ch.encode("utf-8"))
+                for ch in s
+            )
+
+            def fold(m: "_re.Match[str]") -> str:
+                v = int(m.group(1), 16)
+                if v < 0x80 and chr(v) not in reserved:
+                    return chr(v)
+                return "%" + m.group(1).upper()
+
+            return _re.sub(r"%([0-9a-fA-F]{2})", fold, s)
+
         def sim_allowed(path: str, rules: dict) -> bool:
             import re as _re
+
+            # path side additionally encodes raw '*'/'$' (rule
+            # metacharacters — a rule can only spell the literals as
+            # %2A/%24), matching the engine's normalize_path.
+            npath = (
+                sim_normalize(path).replace("*", "%2A").replace("$", "%24")
+            )
 
             def matches(rule: str) -> bool:
                 anchored = rule.endswith("$")
                 body = rule[:-1] if anchored else rule
                 rx = "".join(
-                    ".*" if ch == "*" else _re.escape(ch) for ch in body
+                    ".*" if ch == "*" else "%24" if ch == "$"
+                    else _re.escape(ch)
+                    for ch in body
                 )
-                return _re.match(rx + ("$" if anchored else ""), path) is not None
+                return _re.match(rx + ("$" if anchored else ""), npath) is not None
 
-            best_d = max(
-                (len(r) for r in rules["disallow_rules"] if matches(r)),
-                default=-1,
-            )
+            norm_d = [sim_normalize(r) for r in rules["disallow_rules"]]
+            norm_a = [sim_normalize(r) for r in rules["allow_rules"]]
+            best_d = max((len(r) for r in norm_d if matches(r)), default=-1)
             if best_d < 0:
                 return True
-            best_a = max(
-                (len(r) for r in rules["allow_rules"] if matches(r)),
-                default=-1,
-            )
+            best_a = max((len(r) for r in norm_a if matches(r)), default=-1)
             return best_a >= best_d
 
         per_host: dict[str, list[tuple[int, str]]] = {}

@@ -210,3 +210,90 @@ def test_robots_table_feeds_politeness(spark):
     assert "https://a.example/private/secret" not in urls  # robots-blocked
     assert "https://a.example/public/page" in urls
     assert "https://b.example/anything" in urls
+
+
+def test_robots_verdict_evaluates_once_per_round(spark):
+    """VERDICT r3 item 3: selected and deferred must share ONE robots
+    evaluation.  With the ranked frame persisted and materialized, the
+    deferred branch's executed plan reads the cache (InMemoryTableScan)
+    and contains no Arrow python-UDF stage — the robots matcher cannot
+    run a second time when deferred materializes."""
+    from pyspark.sql import functions as F
+
+    from crawlkit.politeness import politeness_ranked
+    from crawlkit.sparkfns import with_url_identity
+
+    cand = with_url_identity(
+        spark.createDataFrame(
+            [(f"https://h{i % 3}.example/p/{i}",) for i in range(50)],
+            "url string",
+        ).select("url", F.lit(0).alias("depth"),
+                 F.lit(None).cast("double").alias("priority"))
+    )
+    robots = spark.createDataFrame(
+        [(f"h{k}.example", 6000, ["/blocked/"], []) for k in range(3)],
+        "host string, crawl_delay_ms long, disallow_rules array<string>,"
+        "allow_rules array<string>",
+    )
+    ranked = politeness_ranked(cand, robots, round_duration_ms=60_000).persist()
+    try:
+        selected = ranked.where(F.col("is_selected"))
+        deferred = ranked.where(~F.col("is_selected"))
+        n_sel = selected.count()  # materializes the cache (and the UDF, once)
+        assert n_sel > 0 and n_sel < 50  # quota=10/host → some deferred
+        plan = deferred._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        # Everything BEFORE the InMemoryRelation marker is what executes
+        # (the relation prints its cached build plan after it, which
+        # includes the one-time UDF stage — that part reads the cache).
+        executes = plan.split("InMemoryRelation", 1)[0]
+        assert "ArrowEvalPython" not in executes
+        assert "robots_allowed" not in executes
+        # both branches still partition the candidate set exactly
+        assert n_sel + deferred.count() == 50
+    finally:
+        ranked.unpersist()
+
+
+def test_percent_encoding_normalization_rfc9309():
+    """§2.2.2 / RFC 3986 comparison form: unreserved escapes decode,
+    reserved escapes stay encoded (%2F ≠ /), hex case folds, raw
+    non-ASCII compares against its encoded form."""
+    from crawlkit.robots import normalize_octets, path_allowed
+
+    # unreserved octet decodes on either side
+    assert not path_allowed("/fish", ["/%66ish"])      # %66='f' in rule
+    assert not path_allowed("/%66ish", ["/fish"])      # ... or in path
+    # hex case-insensitive for kept escapes
+    assert not path_allowed("/a%2fb", ["/a%2Fb"])
+    # the RFC's corner: %2F is NOT a path slash
+    assert path_allowed("/a/b", ["/a%2Fb"])
+    assert path_allowed("/a%2Fb", ["/a/b"])
+    # raw non-ASCII in rule vs encoded path (and vice versa)
+    assert not path_allowed("/caf%C3%A9", ["/café"])
+    assert not path_allowed("/café", ["/caf%C3%A9"])
+    # %2A / %24 never become wildcard / anchor
+    assert path_allowed("/ab", ["/a%2A"])              # literal '*', no match
+    assert not path_allowed("/a*", ["/a%2A"])
+    assert not path_allowed("/a$x", ["/a%24x"])
+    assert normalize_octets("/a%2a%41ß") == "/a%2AA%C3%9F"
+
+
+def test_rule_precedence_counts_octets_not_codepoints():
+    """ADVICE r3: 'most octets wins' must count UTF-8 bytes.  'é' is one
+    code point but two octets, so Allow '/aé' (4 octets) must outrank
+    Disallow '/abc' — equal in code points... and crucially a 3-octet
+    non-ASCII rule must beat a 3-codepoint/3-octet ASCII rule only on
+    real byte count."""
+    from crawlkit.robots import path_allowed
+
+    # Precedence counts octets of the ENCODED comparison form, so both
+    # spellings of the same rule rank identically: Disallow '/p/é'
+    # (normalizes to '/p/%C3%A9', 9 octets) vs Allow '/p/*' (4 octets)
+    # → Disallow wins → blocked.  A raw-codepoint metric would call
+    # the raw pair equal (4 == 4) and let Allow win the tie.
+    assert not path_allowed("/p/é-page", ["/p/é"], ["/p/*"])
+    # same pair in encoded-rule form must behave identically
+    assert not path_allowed("/p/é-page", ["/p/%C3%A9"], ["/p/*"])
+    # and the tie case: equal octets, Allow wins
+    assert path_allowed("/p/q-page", ["/p/q"], ["/p/*", "/p/q"])
