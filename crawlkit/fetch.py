@@ -138,13 +138,14 @@ def _results_arrow_schema():
 def fetch_extract_write(
     selected: DataFrame,
     pages: DataFrame,
-    results_dir: str,
+    sink,
     round_no: int,
     fetched_ts,
     n_selected: int | None = None,
 ) -> DataFrame:
     """Fetch-join + extraction that writes the WIDE results shard
-    directly from each task via pyarrow and emits only NARROW rows.
+    directly from each task via the warehouse's :class:`ShardSink`
+    and emits only NARROW rows.
 
     Why: the wide columns (region html, CBOR content, text — ~60-80 KB
     per page) otherwise cross the Arrow pipe back into the JVM, get
@@ -153,22 +154,17 @@ def fetch_extract_write(
     in-task keeps the wide bytes in one pass; Spark only ever shuffles
     the narrow link/status columns.
 
-    Idempotence: one file per task, named by partition id — a retried
-    task overwrites its own shard (speculative execution must stay
-    off, the default — asserted below, because a speculative twin
-    racing the original on the same filename could tear a shard).
-    Visibility is still gated by the round manifest commit
-    (storage.py), so a failed round leaves only invisible orphans,
-    exactly like any staged write.  The staging dir is wiped on entry:
-    a crash-resumed round re-executes with a possibly different task
-    layout (core count, AQE coalescing), and orphan ``part-*`` shards
-    from the failed attempt must not leak into the committed round.
+    ``sink`` is a :class:`crawlkit.storage.ShardSink` (from
+    ``Warehouse.staging_sink``): it owns the write protocol —
+    overwrite-by-task-id idempotence, object-store-safe paths, and
+    manifest-gated visibility — so this function holds no filesystem
+    assumptions.  Speculative execution must stay off (asserted here,
+    off by default): a speculative twin racing the original on the
+    same shard name could tear a shard.  The caller obtains the sink
+    per attempt; ``staging_sink`` wipes orphan shards of a crashed
+    previous attempt, whose task layout may have differed.
     """
-    import os
-    import shutil
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark import TaskContext
 
     if (
@@ -180,8 +176,6 @@ def fetch_extract_write(
             "safe under speculative execution; set spark.speculation=false"
         )
     narrow_cols = [f.name for f in NARROW_EXTRACTED_SCHEMA.fields]
-    shutil.rmtree(results_dir, ignore_errors=True)
-    os.makedirs(results_dir, exist_ok=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         wide: list[dict] = []
@@ -211,14 +205,8 @@ def fetch_extract_write(
                 )
             yield pdf[narrow_cols]
         if wide:
-            schema = _results_arrow_schema()
-            table = pa.Table.from_pylist(wide, schema=schema)
-            pid = TaskContext.get().partitionId()
-            pq.write_table(
-                table,
-                os.path.join(results_dir, f"part-{pid:05d}.parquet"),
-                compression="zstd",
-            )
+            table = pa.Table.from_pylist(wide, schema=_results_arrow_schema())
+            sink.write(table, TaskContext.get().partitionId())
 
     return _join_pages(selected, pages, n_selected).mapInPandas(
         run, NARROW_EXTRACTED_SCHEMA
@@ -228,29 +216,45 @@ def fetch_extract_write(
 MAX_BROADCAST_KEYS = 1_000_000
 
 
+def _max_broadcast_keys() -> int:
+    """Broadcast-regime cutoff; env-overridable (CRAWLKIT_MAX_BROADCAST_KEYS)
+    so tests and A/B audits can force the large-keys plan on a small
+    corpus without touching code."""
+    import os
+
+    return int(os.environ.get("CRAWLKIT_MAX_BROADCAST_KEYS",
+                              MAX_BROADCAST_KEYS))
+
+
 def _join_pages(selected: DataFrame, pages: DataFrame,
                 n_selected: int | None = None) -> DataFrame:
     """The J8 fetch join: selected frontier keys against the pages
-    table; output rebalanced for the CPU-bound extraction stage.
+    table.
 
     Shuffle hygiene — the MB-scale ``html`` column must NOT cross an
-    exchange.  A plain ``narrow LEFT JOIN pages`` cannot broadcast
-    (only the inner side of an outer join is broadcastable), so it
-    shuffles the whole pages scan — the dominant byte volume of a
-    round.  Instead:
+    exchange.  Two regimes:
 
-    * ``found``: pages INNER JOIN broadcast(narrow keys) — the html
-      bytes stay in their scan partitions, zero exchange;
-    * ``missing`` (dead links → fetch_failed): narrow keys LEFT ANTI
-      pages.url — a narrow-vs-narrow shuffle of key columns only (the
-      scan is column-pruned to ``url``).
-
-    When the selected set is too large to broadcast
-    (> ``MAX_BROADCAST_KEYS``; pass ``n_selected`` from the round's
-    already-computed count), falls back to the shuffled left join —
-    on a real deployment that regime is instead served by bucketing
-    both tables on ``xxhash64(url_canon)`` (Iceberg bucket transform)
-    so the join co-partitions with no exchange at any size.
+    * SMALL (``n_selected`` ≤ ``MAX_BROADCAST_KEYS``, explicit count
+      required — an unknown size never opts into an unbounded
+      broadcast):
+      - ``found``: pages INNER JOIN broadcast(narrow keys) — the html
+        bytes stay in their scan partitions, zero exchange;
+      - ``missing`` (dead links → fetch_failed): narrow keys LEFT ANTI
+        pages.url — a narrow-vs-narrow shuffle of key columns only
+        (the scan is column-pruned to ``url``).
+    * LARGE / UNKNOWN: ``narrow LEFT OUTER pages`` with a
+      ``shuffle_hash`` hint on the narrow side — the narrow frame is
+      the BUILD side (SPARK-36612 left-outer build-left), so the html
+      rows stream through the join with no sort and no hash table.
+      When ``pages`` is the bucket-clustered table from
+      :meth:`crawlkit.storage.Warehouse.bucketized_pages`, the scan
+      reports its bucketing and only the narrow side shuffles (into
+      the bucket partitioning): the html-bearing scan feeds the join
+      with ZERO exchange at ANY selected-set size — the Iceberg
+      bucket-transform plan, which is the shipped plan for the
+      10^10-URL design point.  Over a raw (unbucketed) parquet scan
+      the same code degrades to a full shuffle of pages; deployments
+      at that scale bucketize at ingest.
     """
     from .dedupe import spread
 
@@ -262,11 +266,14 @@ def _join_pages(selected: DataFrame, pages: DataFrame,
         F.col("html").alias("html_bytes"),
         F.col("lang"),
     )
-    if n_selected is not None and n_selected > MAX_BROADCAST_KEYS:
-        joined = narrow.join(
+    if n_selected is None or n_selected > _max_broadcast_keys():
+        # No spread(): the join output is already wide-parallel (the
+        # bucket count or shuffle.partitions), and a post-join
+        # repartition would be exactly the html shuffle this plan
+        # exists to avoid.
+        return narrow.hint("shuffle_hash").join(
             pages_sel, narrow.url_canon == F.col("page_url"), "left"
         ).drop("page_url")
-        return spread(joined)
     found = pages_sel.join(
         F.broadcast(narrow), F.col("url_canon") == F.col("page_url"), "inner"
     ).drop("page_url")

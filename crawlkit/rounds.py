@@ -47,6 +47,11 @@ class CrawlConfig:
     salt: int = 8
     max_retries: int = 2
     fresh_days: int = 3  # reference freshness window (src/db/model.ts:45-50)
+    # >0: bucket-cluster the pages corpus on url at crawl start
+    # (Warehouse.bucketized_pages) so the J8 fetch join co-partitions
+    # with the scan — the html side crosses zero exchanges even above
+    # the broadcast cutoff.  0 keeps the caller's pages frame as-is.
+    pages_buckets: int = 0
     now: datetime = field(default=EPOCH + timedelta(days=1))
 
 
@@ -227,7 +232,7 @@ def run_round(
     # frame comes back through Arrow and is persisted for the
     # downstream joins.
     extracted = fetch_extract_write(
-        selected, pages, str(wh.round_path("results", round_no)),
+        selected, pages, wh.staging_sink("results", round_no),
         round_no, cfg.now, n_selected=metrics["selected"],
     ).persist()
 
@@ -367,6 +372,10 @@ def run_crawl(
             raise ValueError("fresh crawl needs seeds and robots")
         wh = bootstrap(spark, cfg, seeds, robots)
         last = 0
+    if cfg.pages_buckets:
+        # One-time (idempotent, resume-safe) bucket-clustered ingest;
+        # every round's fetch join then co-partitions with the scan.
+        pages = wh.bucketized_pages(pages, cfg.pages_buckets)
     all_metrics: list[dict[str, int]] = []
     for round_no in range(last + 1, last + 1 + max_rounds):
         m = run_round(spark, wh, cfg, pages, round_no)

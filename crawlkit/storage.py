@@ -25,6 +25,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def _fs_and_root(path: str):
+    """(pyarrow.fs.FileSystem, in-fs path) for a local dir or an
+    object-store URI — the one place storage-protocol resolution
+    happens, so pointing the warehouse at ``s3://bucket/wh`` changes
+    no other code."""
+    from pyarrow import fs as pafs
+
+    if "://" in str(path):
+        return pafs.FileSystem.from_uri(str(path))
+    return pafs.LocalFileSystem(), str(path)
+
+
+class ShardSink:
+    """Picklable per-round shard writer handed to executor tasks
+    (``fetch.fetch_extract_write``).  Owns the warehouse's in-task
+    write protocol so the commit semantics live in ONE documented
+    place:
+
+    * paths resolve through ``pyarrow.fs`` — a POSIX dir and an
+      S3-style store take the same code path (no driver-side
+      ``shutil``/``os`` assumptions);
+    * one shard per task id, overwrite-by-name: a retried task
+      replaces its own shard, so task retries are idempotent
+      (speculative execution must stay off — asserted by the caller —
+      because a speculative twin racing the original on the same name
+      could tear a shard);
+    * staged shards are INVISIBLE to readers until
+      :meth:`Warehouse.commit_round` publishes the round in the
+      manifest — the manifest is the ONLY commit point, so no rename
+      or directory-listing atomicity is assumed of the store.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = str(path)
+
+    def write(self, table, shard_id: int) -> None:
+        """Write one parquet shard from an executor task (pyarrow
+        Table in, zstd parquet out)."""
+        import pyarrow.parquet as pq
+
+        filesystem, root = _fs_and_root(self.path)
+        filesystem.create_dir(root, recursive=True)
+        with filesystem.open_output_stream(
+            f"{root}/part-{shard_id:05d}.parquet"
+        ) as out:
+            pq.write_table(table, out, compression="zstd")
+
+
 class Warehouse:
     def __init__(self, path: str | os.PathLike) -> None:
         self.root = Path(path)
@@ -73,6 +121,23 @@ class Warehouse:
         until commit_round publishes it in the manifest."""
         return self._round_dir(table, round_no)
 
+    def staging_sink(self, table: str, round_no: int) -> ShardSink:
+        """Per-attempt :class:`ShardSink` for in-task shard writes.
+        Wipes any shards left by a crashed previous attempt of the
+        SAME round first: a resumed round re-executes with a possibly
+        different task layout (core count, AQE coalescing), and orphan
+        ``part-*`` files from the failed attempt must not leak into
+        the committed round.  Safe because an uncommitted round is
+        invisible to every reader — the wipe deletes only
+        never-published data."""
+        filesystem, root = _fs_and_root(str(self._round_dir(table, round_no)))
+        try:
+            filesystem.delete_dir_contents(root)
+        except FileNotFoundError:
+            pass
+        filesystem.create_dir(root, recursive=True)
+        return ShardSink(str(self._round_dir(table, round_no)))
+
     def write(self, df: DataFrame, table: str, round_no: int) -> None:
         """Stage a round's data (not visible until commit_round)."""
         df.write.mode("overwrite").parquet(str(self._round_dir(table, round_no)))
@@ -90,6 +155,69 @@ class Warehouse:
         for f in d.glob("*.parquet"):
             total += pq.ParquetFile(f).metadata.num_rows
         return total
+
+    # -- bucketed pages (J8 large-regime fetch join) ----------------------
+    def bucketized_pages(self, pages: DataFrame, buckets: int) -> DataFrame:
+        """Bucket-cluster the pages corpus on its join key (``url``)
+        ONCE, so every round's fetch join co-partitions with the scan
+        and the html-bearing side crosses ZERO exchanges at ANY
+        selected-set size (the >1M-keys regime where per-round
+        broadcast is impossible; at the 10^10-URL design point this is
+        the NORMAL regime).  This is the parquet stand-in for Iceberg's
+        ``bucket(url)`` partition transform (SURVEY.md §1.3), expressed
+        through Spark's native bucketed tables: the scan reports
+        ``HashPartitioning(url, buckets)``, so EnsureRequirements
+        shuffles only the narrow frontier side into the bucketing.
+
+        Cost model: the one-time ingest writes each input task's rows
+        into per-bucket files (task-local sort by bucket id, NO
+        shuffle); every subsequent round reads co-partitioned — the
+        classic write-once/join-forever trade.
+
+        Idempotent ensure: (a) table already in the session catalog →
+        reuse; (b) data on disk from a previous session (resume) →
+        re-register external-table DDL over the existing bucketed
+        files (Spark derives each file's bucket id from its
+        ``_NNNNN`` filename component); (c) otherwise ingest.  The
+        bucket spec is pinned in ``_bucket_spec.json`` next to the
+        data; a mismatched ``buckets`` on resume fails loudly instead
+        of silently mis-joining."""
+        import hashlib
+
+        spark = pages.sparkSession
+        loc = self.root / "pages_bucketed"
+        tag = hashlib.blake2b(
+            str(self.root.resolve()).encode(), digest_size=4
+        ).hexdigest()
+        name = f"crawlkit_pages_b{buckets}_{tag}"
+        spec_path = loc / "_bucket_spec.json"
+        if spark.catalog.tableExists(name):
+            return spark.table(name)
+        if spec_path.exists():
+            spec = json.loads(spec_path.read_text())
+            if spec["buckets"] != buckets:
+                raise ValueError(
+                    f"pages_bucketed at {loc} has {spec['buckets']} buckets; "
+                    f"requested {buckets} — re-ingest or match the spec"
+                )
+            spark.sql(
+                f"CREATE TABLE {name} ({spec['ddl']}) USING parquet "
+                f"CLUSTERED BY (url) INTO {buckets} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+            return spark.table(name)
+        (
+            pages.write.format("parquet")
+            .bucketBy(buckets, "url")
+            .option("path", str(loc))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in pages.schema.fields
+        )
+        spec_path.write_text(json.dumps({"buckets": buckets, "ddl": ddl}))
+        return spark.table(name)
 
     def read(
         self,
