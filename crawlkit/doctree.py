@@ -148,8 +148,17 @@ def _collapse_ws(text: str) -> str:
 
 
 class _DocBuilder:
-    def __init__(self) -> None:
-        pass
+    def __init__(self, math_nodes: bool = False) -> None:
+        # OFF by default for reference document-format parity: the
+        # reference's @tiptap-pro/extension-mathematics 2.5.0
+        # (package.json:35, src/tiptap.ts:66) is a DECORATION-only
+        # plugin — it renders '$…$' with KaTeX in the editor view but
+        # getJSON() keeps the run as plain text and never emits a
+        # 'mathematics' node.  Opting in produces typed math nodes for
+        # pipelines that want them, at the cost of CBOR/doc-format
+        # divergence from the reference (doc_to_text parity holds
+        # either way — the projection reproduces the source bytes).
+        self.math_nodes = math_nodes
 
     def build(self, root: HElement) -> dict:
         return {"type": "doc", "content": self._blocks(root)}
@@ -392,11 +401,13 @@ class _DocBuilder:
                               "text": element_text(el) or None},
                 })
                 return
-            if dtype in ("mathematics", "inline-math"):
-                # tiptap-pro Mathematics (src/tiptap.ts:66): the
-                # explicit-span form; latex from data-latex or the
-                # span's fallback text.  Plain-text '$…$'/'\(…\)' runs
-                # are handled in _inline_text.
+            if dtype in ("mathematics", "inline-math") and self.math_nodes:
+                # opt-in (see __init__): the explicit-span form; latex
+                # from data-latex or the span's fallback text.  Plain-
+                # text '$…$'/'\(…\)' runs are handled in _inline_text.
+                # With math_nodes off the span falls through to the
+                # generic handler (its text content becomes plain
+                # text), matching the reference's getJSON.
                 from .htmlkit import element_text
 
                 latex = el.attrs.get("data-latex") or element_text(el)
@@ -436,12 +447,12 @@ class _DocBuilder:
         text = _collapse_ws(data)
         if text == "":
             return
-        # Mathematics (src/tiptap.ts:66): tiptap-pro scans text runs for
-        # LaTeX spans.  Conservative per-run detection: '$…$' with
+        # Opt-in math nodes (see __init__): scan text runs for LaTeX
+        # spans.  Conservative per-run detection: '$…$' with
         # non-space, non-empty content (so '$5 and $10' stays text) and
         # '\(…\)'.  The original delimiter is kept on the node so the
         # plain-text projection reproduces the source bytes exactly.
-        if "$" in text or "\\(" in text:
+        if self.math_nodes and ("$" in text or "\\(" in text):
             pos = 0
             for m in _MATH_RE.finditer(text):
                 if m.start() > pos:
@@ -619,16 +630,18 @@ def _int_attr(el: HElement, name: str, default: int) -> int:
         return default
 
 
-def html_to_doc(html: str) -> dict:
-    """X6: parse HTML into an (un-amended) tiptap-style doc node."""
-    return _DocBuilder().build(parse_html(html))
+def html_to_doc(html: str, math_nodes: bool = False) -> dict:
+    """X6: parse HTML into an (un-amended) tiptap-style doc node.
+    ``math_nodes`` opts into typed Mathematics nodes (off by default
+    for reference doc-format parity — see ``_DocBuilder``)."""
+    return _DocBuilder(math_nodes).build(parse_html(html))
 
 
-def element_to_doc(el) -> dict:
+def element_to_doc(el, math_nodes: bool = False) -> dict:
     """X6 over an already-parsed element: equivalent to
     ``html_to_doc(inner_html(el))`` (serializer/parser roundtrip is
     identity) without the serialize + re-parse pass."""
-    return _DocBuilder().build(el)
+    return _DocBuilder(math_nodes).build(el)
 
 
 # ---------------------------------------------------------------------------
@@ -685,9 +698,10 @@ def amend_node(node: dict | None, ids: DeterministicIds) -> dict | None:
     return node
 
 
-def parse_html_to_doc(html: str, seed: str = "") -> dict:
+def parse_html_to_doc(html: str, seed: str = "",
+                      math_nodes: bool = False) -> dict:
     """X6+X7 combined (reference ``parseHTML``, src/tiptap.ts:190-194)."""
-    doc = html_to_doc(html)
+    doc = html_to_doc(html, math_nodes)
     amend_node(doc, DeterministicIds(seed))
     return doc
 

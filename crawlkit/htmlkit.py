@@ -195,19 +195,42 @@ def unique_parents(elements: list[HElement]) -> list[HElement]:
 
 
 def remove_all(root: HElement, tag: str) -> None:
-    """``$(tag).remove()`` (reference ``src/crawler.ts:73``)."""
+    """``$(tag).remove()`` (reference ``src/crawler.ts:73``).
+
+    Safe on ANY subtree, not just the parse root: the owning
+    :class:`HRoot` is located via parent pointers and its tag index is
+    maintained (raw-text tags: detached elements dropped from the
+    bucket) or invalidated (container tags: descendants could be
+    orphaned), so a later ``find_all`` on the root can never return a
+    detached node."""
+    removed: list[HElement] = []
     for el in find_all(root, tag):
         if el.parent is not None:
             el.parent.remove_child(el)
-    if isinstance(root, HRoot) and root.tag_index is not None:
+            removed.append(el)
+    top = root
+    while top.parent is not None:
+        top = top.parent
+    if isinstance(top, HRoot) and top.tag_index is not None:
         if tag in RAW_TEXT_ELEMENTS:
             # raw-text elements have no element children — no other
-            # index bucket can reference a detached descendant
-            root.tag_index.pop(tag, None)
+            # index bucket can reference a detached descendant; drop
+            # exactly the detached ones (the whole bucket when called
+            # on the root itself)
+            if top is root:
+                top.tag_index.pop(tag, None)
+            else:
+                gone = {id(e) for e in removed}
+                kept = [e for e in top.tag_index.get(tag, ())
+                        if id(e) not in gone]
+                if kept:
+                    top.tag_index[tag] = kept
+                else:
+                    top.tag_index.pop(tag, None)
         else:
             # removing a container could orphan indexed descendants;
             # invalidate the index so find_all falls back to DFS
-            root.tag_index = None
+            top.tag_index = None
 
 
 # -- serialisation -------------------------------------------------------

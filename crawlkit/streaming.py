@@ -232,3 +232,24 @@ def warehouse_sink(
     )
     q.awaitTermination()
     return str(Path(warehouse) / table)
+
+
+def read_epochs(spark: SparkSession, sink_root: str,
+                latest_only: bool = False) -> DataFrame:
+    """Read back a :func:`warehouse_sink` epoch layout.
+
+    ``latest_only=False`` unions every epoch — correct for APPEND-mode
+    sinks, where each epoch holds only that micro-batch's new rows.
+    ``latest_only=True`` reads just the highest epoch — correct for
+    COMPLETE-mode aggregate sinks, where every epoch rewrote the FULL
+    result and earlier epochs are superseded snapshots."""
+    root = Path(sink_root)
+    epochs = sorted(
+        int(p.name.split("=", 1)[1])
+        for p in root.glob("epoch=*") if p.is_dir()
+    )
+    if not epochs:
+        raise ValueError(f"no epochs under {sink_root}")
+    if latest_only:
+        return spark.read.parquet(str(root / f"epoch={epochs[-1]}"))
+    return spark.read.parquet(*(str(root / f"epoch={e}") for e in epochs))

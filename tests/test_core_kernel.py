@@ -264,13 +264,35 @@ def test_whitespace_collapse():
     assert doc_to_text(doc) == "a b c"
 
 
-def test_mathematics_nodes_from_text_and_spans():
-    """X6 Mathematics (reference src/tiptap.ts:66): '$…$'/'\\(…\\)' text
-    spans and explicit data-type=mathematics spans become mathematics
-    nodes with a latex attr; the plain-text projection reproduces the
-    SOURCE bytes so extraction parity is unchanged."""
-    # dollar form in a plain text run
+def test_mathematics_stays_plain_text_by_default():
+    """ADVICE r3: the reference's @tiptap-pro/extension-mathematics
+    2.5.0 is decoration-only — getJSON() keeps '$…$' as plain text and
+    never emits a mathematics node.  Default parsing must match that
+    doc format exactly."""
     doc = parse_html_to_doc("<p>Euler: $e^{i\\pi}+1=0$ holds.</p>", seed="s")
+    inline = doc["content"][0]["content"]
+    assert [n["type"] for n in inline] == ["text"]
+    assert doc_to_text(doc) == "Euler: $e^{i\\pi}+1=0$ holds."
+
+    # explicit data-type span: no extension claims it, so only its
+    # text content survives (as plain text)
+    doc = parse_html_to_doc(
+        '<p>see <span data-type="mathematics" data-latex="\\frac{a}{b}">'
+        "a/b</span> here</p>",
+        seed="s",
+    )
+    assert [n["type"] for n in doc["content"][0]["content"]] == ["text"]
+    assert doc_to_text(doc) == "see a/b here"
+
+
+def test_mathematics_nodes_opt_in():
+    """X6 Mathematics, opt-in form (math_nodes=True): '$…$'/'\\(…\\)'
+    text spans and explicit data-type=mathematics spans become
+    mathematics nodes with a latex attr; the plain-text projection
+    reproduces the SOURCE bytes so extraction parity is unchanged."""
+    # dollar form in a plain text run
+    doc = parse_html_to_doc("<p>Euler: $e^{i\\pi}+1=0$ holds.</p>",
+                            seed="s", math_nodes=True)
     inline = doc["content"][0]["content"]
     assert [n["type"] for n in inline] == ["text", "mathematics", "text"]
     assert inline[1]["attrs"]["latex"] == "e^{i\\pi}+1=0"
@@ -279,7 +301,8 @@ def test_mathematics_nodes_from_text_and_spans():
     assert 'data-type="mathematics" data-latex="e^{i\\pi}+1=0"' in html
 
     # \( … \) form keeps ITS delimiters in the text projection
-    doc = parse_html_to_doc("<p>so \\(x^2\\) grows</p>", seed="s")
+    doc = parse_html_to_doc("<p>so \\(x^2\\) grows</p>", seed="s",
+                            math_nodes=True)
     assert doc["content"][0]["content"][1]["type"] == "mathematics"
     assert doc_to_text(doc) == "so \\(x^2\\) grows"
 
@@ -287,7 +310,7 @@ def test_mathematics_nodes_from_text_and_spans():
     doc = parse_html_to_doc(
         '<p>see <span data-type="mathematics" data-latex="\\frac{a}{b}">'
         "a/b</span> here</p>",
-        seed="s",
+        seed="s", math_nodes=True,
     )
     m = doc["content"][0]["content"][1]
     assert m["type"] == "mathematics"
@@ -296,12 +319,14 @@ def test_mathematics_nodes_from_text_and_spans():
 
     # currency amounts are NOT math ('$5 and $10' has space-adjacent
     # content edges) — stays one text node
-    doc = parse_html_to_doc("<p>costs $5 and $10 today</p>", seed="s")
+    doc = parse_html_to_doc("<p>costs $5 and $10 today</p>", seed="s",
+                            math_nodes=True)
     assert [n["type"] for n in doc["content"][0]["content"]] == ["text"]
     assert doc_to_text(doc) == "costs $5 and $10 today"
 
     # marks around the math run survive on neighboring text
-    doc = parse_html_to_doc("<p><em>let $x$ vary</em></p>", seed="s")
+    doc = parse_html_to_doc("<p><em>let $x$ vary</em></p>", seed="s",
+                            math_nodes=True)
     kinds = [n["type"] for n in doc["content"][0]["content"]]
     assert kinds == ["text", "mathematics", "text"]
     assert doc_to_text(doc) == "let $x$ vary"
@@ -525,3 +550,25 @@ def test_structural_parity_with_reference_doc_html():
     mine = _norm_html_tree(parse_html(d.canonical_html))
     ref = _norm_html_tree(parse_html(REF_HTML.read_text()))
     assert mine == ref
+
+
+def test_remove_all_on_subtree_keeps_root_index_consistent():
+    """ADVICE r3 (htmlkit.remove_all): detaching from a SUBTREE must
+    not leave the parse root's tag index pointing at removed nodes."""
+    from crawlkit.htmlkit import remove_all
+
+    root = parse_html(
+        "<div id=a><script>x()</script><p>keep</p></div>"
+        "<div id=b><script>y()</script></div>"
+    )
+    div_a = find_all(root, "div")[0]
+    remove_all(div_a, "script")
+    # the root lookup must see only div b's script
+    scripts = find_all(root, "script")
+    assert len(scripts) == 1
+    assert element_text(scripts[0]) == "y()"
+
+    # container removal from a subtree invalidates the index → DFS
+    remove_all(div_a, "p")
+    assert find_all(root, "p") == []
+    assert root.tag_index is None

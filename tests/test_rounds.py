@@ -211,3 +211,26 @@ def test_partition_count_invariance(spark, pages, synth_cfg, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert orders[0] == orders[1] == orders[2]
+
+
+def test_crawl_round_smoke_multiround_and_shuffle_stable(spark):
+    """VERDICT r3 item 6: the driver-visible smoke query runs 3 rounds
+    with a mid-crawl resume; its row set must cover multiple rounds and
+    be invariant under shuffle-partition count."""
+    from crawlkit.queries import REGISTRY
+
+    fn, _ = REGISTRY["crawl_round_smoke"]
+    snapshots = []
+    for n in ("4", "13"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            df = fn(spark, None)
+            rows = df.collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        snapshots.append(sorted((r["url"], r["status"], r["round"])
+                                for r in rows))
+    assert snapshots[0] == snapshots[1]
+    assert len(snapshots[0]) > 0
+    rounds = {r[2] for r in snapshots[0]}
+    assert len(rounds) >= 2, rounds  # the resume actually crawled on
