@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 
@@ -87,6 +88,25 @@ def _as_frontier(df: DataFrame, round_no: int, status: str = "queued") -> DataFr
     )
 
 
+def _dedupe_frontier(df: DataFrame, round_no: int) -> DataFrame:
+    """S4 in-round dedupe (the same url can be enqueued via several
+    paths: retry + rediscovered link), enforced at WRITE time with
+    order-free min/max merges.  The invariant — committed frontier
+    deltas are unique per (round, url_hash) — lets every reader (and
+    every resume re-read) take the round's queued set as a straight
+    filter instead of re-shuffling already-unique rows."""
+    deduped = df.groupBy("url_hash").agg(
+        F.min("url").alias("url"),
+        F.min("url_canon").alias("url_canon"),
+        F.min("host").alias("host"),
+        F.min("depth").cast("int").alias("depth"),
+        F.max("priority").alias("priority"),
+        F.min("discovered_ts").alias("discovered_ts"),
+        F.max("retry_count").alias("retry_count"),
+    )
+    return _as_frontier(deduped, round_no)
+
+
 def bootstrap(
     spark: SparkSession,
     cfg: CrawlConfig,
@@ -96,20 +116,19 @@ def bootstrap(
     """Round 0: validate/canonicalize seeds → frontier eligible for
     round 1; persist robots as the hostbudget dim; commit."""
     wh = Warehouse(cfg.warehouse)
-    ident = with_url_identity(seeds)
-    deduped = (
-        ident.groupBy("url_canon", "url_hash", "host")
-        .agg(
-            F.min("url").alias("url"),
-            F.min("depth").cast("int").alias("depth"),
-            F.min("discovered_ts").alias("discovered_ts"),
-        )
+    ident = (
+        with_url_identity(seeds)
         .withColumn("priority", F.lit(0.0))
         .withColumn("retry_count", F.lit(0))
     )
-    frontier0 = _as_frontier(deduped, round_no=1)
-    wh.write(frontier0, "frontier", 0)
-    wh.write(robots, "hostbudget", 0)
+    frontier0 = _dedupe_frontier(ident, round_no=1)
+    # independent tables: overlap the two write jobs' scheduling latency
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [
+            pool.submit(wh.write, frontier0, "frontier", 0),
+            pool.submit(wh.write, robots, "hostbudget", 0),
+        ]:
+            fut.result()
     # manifest row counts from the staged parquet FOOTERS — a
     # .count() here would re-run the whole canonicalize+dedupe plan
     # (the seed UDF pass twice per crawl), pure fixed overhead
@@ -143,25 +162,12 @@ def run_round(
     frontier has no queued rows for this round (crawl finished)."""
     tick = _timer()
     frontier = wh.read(spark, "frontier", schema.FRONTIER_SCHEMA)
-    queued_raw = frontier.where(
+    # Frontier deltas are deduped per (round, url_hash) AT WRITE TIME
+    # (bootstrap and the delta write below share _dedupe_frontier), so
+    # the round's queued set is a straight filter — no per-read (and
+    # per-RESUME-re-read) shuffle re-deduping already-unique rows.
+    queued = frontier.where(
         (F.col("round") == round_no) & (F.col("status") == "queued")
-    )
-    # Deterministic in-round dedupe (S4 analog): the same url can be
-    # enqueued via several paths (retry + rediscovered link); merge to
-    # one row with min/max aggregates so the outcome is order-free.
-    queued = (
-        queued_raw.groupBy("url_hash")
-        .agg(
-            F.min("url").alias("url"),
-            F.min("url_canon").alias("url_canon"),
-            F.min("host").alias("host"),
-            F.min("depth").alias("depth"),
-            F.max("priority").alias("priority"),
-            F.min("discovered_ts").alias("discovered_ts"),
-            F.max("retry_count").alias("retry_count"),
-        )
-        .withColumn("status", F.lit("queued"))
-        .withColumn("round", F.lit(round_no).cast("int"))
     )
     robots = wh.read(spark, "hostbudget", schema.HOSTBUDGET_SCHEMA)
     bloom_state = latest_blooms(
@@ -288,10 +294,11 @@ def run_round(
         "url", "url_canon", "url_hash", "host", "depth", "priority",
         "discovered_ts", "retry_count",
     )
-    frontier_delta = (
+    frontier_delta = _dedupe_frontier(
         _as_frontier(links_unseen, round_no + 1)
         .unionByName(_as_frontier(deferred_next, round_no + 1))
-        .unionByName(_as_frontier(retries, round_no + 1))
+        .unionByName(_as_frontier(retries, round_no + 1)),
+        round_no + 1,
     )
 
     # -- persist + atomic commit (T6) ------------------------------------
@@ -299,12 +306,32 @@ def run_round(
     # wide results-shard writes in one pass.
     metrics["results"] = ok.count()
     tick("extract+results.write")
-    wh.write(new_seen, "urlseen_exact", round_no)
-    tick("exact.write")
-    wh.write(bloom_delta, "urlseen_bloom", round_no)
-    tick("bloom.write")
-    wh.write(frontier_delta, "frontier", round_no)
-    tick("frontier.write")
+    # The three state writes are independent (distinct tables, all
+    # reading only persisted frames), so submit them from worker
+    # threads: Spark schedules concurrently-submitted jobs in parallel,
+    # overlapping each job's fixed scheduling latency and letting small
+    # final-stage tails share the cluster instead of serializing.  The
+    # per-partition lineage aggregation (a tiny frame off the persisted
+    # extraction output) rides along in the same window.  Any failure
+    # re-raises here — before commit_round — so a partial write is
+    # never published.
+    part_agg = extracted.groupBy(
+        F.spark_partition_id().alias("partition_id")
+    ).agg(
+        F.count("*").alias("rows_in"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("rows_out"),
+    )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        write_futs = [
+            pool.submit(wh.write, new_seen, "urlseen_exact", round_no),
+            pool.submit(wh.write, bloom_delta, "urlseen_bloom", round_no),
+            pool.submit(wh.write, frontier_delta, "frontier", round_no),
+        ]
+        part_fut = pool.submit(part_agg.collect)
+        for fut in write_futs:
+            fut.result()
+        part_rows_local = part_fut.result()
+    tick("state.writes(parallel)")
 
     # Post-write row counts come from the staged parquet FOOTERS (no
     # Spark job): three fewer scheduling round-trips of per-round fixed
@@ -316,27 +343,16 @@ def run_round(
     # "resumable ... with per-partition lineage + metrics"): one row
     # per physical partition of the fetch+extract output, so an
     # operator can localize data-quality or straggler issues.
-    stage_rows = spark.createDataFrame(
-        [(round_no, None, stage, None, int(v), None)
-         for stage, v in metrics.items()],
-        schema.METRICS_SCHEMA,
-    )
-    part_rows = (
-        extracted.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count("*").alias("rows_in"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("rows_out"),
-        )
-        .select(
-            F.lit(round_no).cast("int").alias("round"),
-            F.col("partition_id").cast("int"),
-            F.lit("extract_partition").alias("stage"),
-            F.col("rows_in").cast("long"),
-            F.col("rows_out").cast("long"),
-            F.lit(None).cast("long").alias("elapsed_ms"),
-        )
-    )
-    wh.write(stage_rows.unionByName(part_rows), "metrics", round_no)
+    all_rows = [
+        (round_no, None, stage, None, int(v), None)
+        for stage, v in metrics.items()
+    ] + [
+        (round_no, int(r["partition_id"]), "extract_partition",
+         int(r["rows_in"]), int(r["rows_out"]), None)
+        for r in part_rows_local
+    ]
+    wh.write(spark.createDataFrame(all_rows, schema.METRICS_SCHEMA),
+             "metrics", round_no)
     # true table row count (stage rows + per-partition lineage rows)
     metrics_rows = wh.row_count("metrics", round_no)
     # Commit keys are TABLE names (the manifest is what readers prune on).

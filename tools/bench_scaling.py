@@ -101,9 +101,14 @@ def run_at(cores: int, n_pages: int, corpus_dir: str,
         }
     else:
         master, extra = f"local[{cores}]", None
+    # 3 shuffle tasks per core: at shuffle_partitions == cores the
+    # politeness windows and state writes run one task wave, so a
+    # single slow task (zstd-heavy partition, GC pause) stretches the
+    # whole stage; 3x gives the scheduler room to rebalance.  Same
+    # rule for both legs, so the pair stays like-for-like.
     spark = get_spark(
         f"crawlkit-scale-{cores}", master=master,
-        shuffle_partitions=max(cores, 8), extra_conf=extra,
+        shuffle_partitions=max(3 * cores, 8), extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(corpus_dir)
