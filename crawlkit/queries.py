@@ -216,13 +216,19 @@ def j1_lookup_join(spark, sf_dir):
 
 @q("j2_anti_join", """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 """)
 def j2_anti_join(spark, sf_dir):
-    """J2 anti-join (URL-seen dedupe shape): keys with no match."""
+    """J2 anti-join (URL-seen dedupe shape): keys with no match.
+
+    The probe side is filtered (status 'F') so the anti-join survives
+    non-trivially at every SF (5 / 71 / 511 rows at sf0.001/0.01/0.1) —
+    an unfiltered probe matches every customer and the oracle row set
+    would be empty, a vacuous hash match."""
     return (
         t(spark, sf_dir, "customer")
-        .join(t(spark, sf_dir, "orders"),
+        .join(t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F"),
               F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
@@ -350,14 +356,20 @@ def o3_pagination_limit(spark, sf_dir):
  UNION
  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 90
 """)
 def set_union_except(spark, sf_dir):
-    """§2.7 union + except (frontier delta = links EXCEPT seen)."""
+    """§2.7 union + except (frontier delta = links EXCEPT seen).
+
+    The except side is restricted to high-value errors so the result is
+    non-empty at every SF (4 / 14 / 177 rows at sf0.001/0.01/0.1) —
+    every user has at least one plain error event, so an unrestricted
+    EXCEPT would be a vacuous 0-row hash match."""
     ev = t(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("user_id")
     signups = ev.where(F.col("event_type") == "signup").select("user_id")
-    errors = ev.where(F.col("event_type") == "error").select("user_id")
+    errors = ev.where((F.col("event_type") == "error")
+                      & (F.col("value") > 90)).select("user_id")
     return clicks.union(signups).distinct().subtract(errors)
 
 
