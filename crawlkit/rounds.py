@@ -53,6 +53,11 @@ class CrawlConfig:
     # with the scan — the html side crosses zero exchanges even above
     # the broadcast cutoff.  0 keeps the caller's pages frame as-is.
     pages_buckets: int = 0
+    # URL-seen filter structure: "bloom" (default) or "cuckoo" — cuckoo
+    # supports in-place stale-URL eviction (urlseen.evicted_seen_partitions)
+    # at ~the same memory.  The probe path is identical for both; the
+    # final URL-seen set is exact either way (exact-confirm join).
+    seen_filter: str = "bloom"
     now: datetime = field(default=EPOCH + timedelta(days=1))
 
 
@@ -253,7 +258,8 @@ def run_round(
         .persist()  # feeds bloom rebuild, link anti-join, write, count
     )
     bloom_delta = updated_bloom_partitions(
-        new_seen, bloom_state, exact, cfg.n_bloom_partitions, round_no
+        new_seen, bloom_state, exact, cfg.n_bloom_partitions, round_no,
+        kind=cfg.seen_filter,
     )
 
     # Frontier growth: out-links of ok pages, deduped deterministically,

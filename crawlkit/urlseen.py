@@ -1,22 +1,28 @@
-"""URL-seen set: partitioned bloom pre-filter + exact confirm (J2).
+"""URL-seen set: partitioned bloom/cuckoo pre-filter + exact confirm (J2).
 
 Replaces the reference's LWT row lock + freshness probe
 (``/root/reference/src/db/model.ts:115-128,161-191``) with batch
 semantics (SURVEY.md §4.2):
 
-* ``urlseen_bloom``: P bloom partitions (P **must be a power of two**
+* ``urlseen_bloom``: P filter partitions (P **must be a power of two**
   so the JVM-side ``pmod(xxhash64, P)`` equals the numpy unsigned mod),
-  each a byte-serialized numpy bit array.  Latest row per partition_id
-  wins (state is replaced per round for touched partitions only).
-* ``urlseen_exact``: the exact hash set, used to confirm bloom hits so
-  the final URL-seen set is *exactly* the reference's — bloom false
+  each a byte-serialized numpy structure — a bloom bit array
+  (`bloom.BloomPartition`) or a cuckoo slot table
+  (`cuckoo.CuckooPartition`); the payload self-describes its kind, so
+  the probe path is identical for both and a deployment can switch
+  kinds mid-crawl (absorbing partitions keep their kind; rebuilds adopt
+  the configured one).
+* ``urlseen_exact``: the exact hash set, used to confirm filter hits so
+  the final URL-seen set is *exactly* the reference's — false
   positives cost an extra join probe, never a lost URL.
 
-Scale shape: candidates are co-grouped with their bloom partition
+Scale shape: candidates are co-grouped with their filter partition
 (``cogroup.applyInPandas`` — only the touched partitions move), the
-bloom knocks out the ~99% already-seen mass, and only surviving hits
-pay the exact anti-join.  Bloom partitions rebuild from the exact set
-only when over-full (amortized O(1) per insert).
+filter knocks out the ~99% already-seen mass, and only surviving hits
+pay the exact anti-join.  Partitions rebuild from the exact set only
+when over-full (amortized O(1) per insert).  Cuckoo partitions
+additionally support in-place eviction (`evicted_seen_partitions`) —
+O(evicted) stale-URL expiry vs the bloom's O(partition) rebuild.
 """
 
 from __future__ import annotations
@@ -27,10 +33,34 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from .bloom import BloomPartition, optimal_bits, optimal_hashes
+from .cuckoo import DESIGN_LOAD, SLOTS_PER_BUCKET, CuckooPartition
 from .schema import URLSEEN_BLOOM_SCHEMA
 
 MIN_CAPACITY = 4096
 FILL_REBUILD_RATIO = 0.6
+
+
+def filter_from_bytes(payload: bytes) -> BloomPartition | CuckooPartition:
+    """Deserialize either filter kind (the payload self-describes)."""
+    if CuckooPartition.is_cuckoo_payload(payload):
+        return CuckooPartition.from_bytes(payload)
+    return BloomPartition.from_bytes(payload)
+
+
+def _new_filter(kind: str, capacity: int) -> BloomPartition | CuckooPartition:
+    if kind == "cuckoo":
+        return CuckooPartition.sized_for(capacity)
+    m = optimal_bits(capacity)
+    return BloomPartition(m, optimal_hashes(m, capacity))
+
+
+def _absorb_budget(f: BloomPartition | CuckooPartition) -> int:
+    """How many items the filter may hold before an in-place absorb
+    must give way to a rebuild."""
+    if isinstance(f, CuckooPartition):
+        # sized_for already bakes in the design load factor
+        return int(f.n_buckets * SLOTS_PER_BUCKET * DESIGN_LOAD)
+    return int(FILL_REBUILD_RATIO * _capacity(f))
 
 
 def _check_pow2(n: int) -> None:
@@ -78,7 +108,7 @@ def probe_unseen(
         if right.empty:
             left["maybe_seen"] = False
             return left
-        bp = BloomPartition.from_bytes(bytes(right["bloom_bytes"].iloc[0]))
+        bp = filter_from_bytes(bytes(right["bloom_bytes"].iloc[0]))
         left["maybe_seen"] = bp.might_contain(left["url_hash"].to_numpy())
         return left
 
@@ -101,13 +131,19 @@ def updated_bloom_partitions(
     exact_seen: DataFrame,
     n_partitions: int,
     round_no: int,
+    kind: str = "bloom",
 ) -> DataFrame:
-    """New bloom rows for the partitions touched by ``new_hashes``.
+    """New filter rows for the partitions touched by ``new_hashes``.
 
     Each touched partition either absorbs the new hashes in place
     (capacity permitting) or rebuilds from exact ∪ new at 2× capacity.
     Only touched partitions are rewritten — per-round state delta stays
     proportional to the round's discoveries, not the total seen set.
+
+    ``kind`` ("bloom" | "cuckoo") picks the structure a REBUILD
+    constructs; absorbing partitions keep whatever kind they already
+    are, so switching kinds is safe mid-crawl and converges as
+    partitions fill.
     """
     _check_pow2(n_partitions)
     new_tagged = with_partition_id(
@@ -130,19 +166,26 @@ def updated_bloom_partitions(
         pid = int(left["partition_id"].iloc[0])
         new_vals = left.loc[left["is_new"], "url_hash"].to_numpy()
         bp = (
-            BloomPartition.from_bytes(bytes(right["bloom_bytes"].iloc[0]))
+            filter_from_bytes(bytes(right["bloom_bytes"].iloc[0]))
             if not right.empty
             else None
         )
         total = int(len(left))
-        if bp is None or (bp.n_items + len(new_vals)) > FILL_REBUILD_RATIO * _capacity(bp):
+
+        def rebuilt():
             cap = max(MIN_CAPACITY, 2 * total)
-            m = optimal_bits(cap)
-            bp = BloomPartition(m, optimal_hashes(m, cap))
-            bp.add(left["url_hash"].to_numpy())
-            bp.n_items = total
+            nf = _new_filter(kind, cap)
+            nf.add(left["url_hash"].to_numpy())
+            nf.n_items = total
+            return nf
+
+        if bp is None or (bp.n_items + len(new_vals)) > _absorb_budget(bp):
+            bp = rebuilt()
         else:
-            bp.add(new_vals)
+            try:
+                bp.add(new_vals)
+            except OverflowError:  # cuckoo table full before its budget
+                bp = rebuilt()
         return pd.DataFrame(
             {
                 "partition_id": [pid],
@@ -164,3 +207,83 @@ def _capacity(bp: BloomPartition) -> int:
     import math
 
     return max(int(bp.m_bits * (math.log(2) ** 2) / -math.log(0.01)), 1)
+
+
+def evicted_seen_partitions(
+    evict_hashes: DataFrame,
+    filter_state: DataFrame,
+    exact_seen: DataFrame,
+    n_partitions: int,
+    round_no: int,
+    kind: str = "bloom",
+) -> DataFrame:
+    """New filter rows for the partitions touched by an eviction batch
+    (stale-URL expiry: make evicted urls probe as unseen again so the
+    frontier re-admits them).
+
+    This is where the bloom/cuckoo asymmetry pays: a cuckoo partition
+    deletes the evicted fingerprints IN PLACE — per-partition work and
+    shuffled bytes are O(evicted) — while a bloom partition cannot
+    unset bits and must REBUILD from exact-minus-evicted, O(partition)
+    (``kind="bloom"`` ships the touched partitions' exact rows for
+    that).  Passing ``kind="cuckoo"`` skips shipping the exact rows
+    entirely; a bloom payload encountered in that mode raises, never
+    silently drops items.
+
+    Exact-table maintenance (removing the evicted rows from
+    ``urlseen_exact``) is the caller's transaction; this function only
+    produces the filter delta.  Evictions MUST come from the exact seen
+    set — deleting never-inserted hashes can evict a collider's
+    fingerprint (see `CuckooPartition.delete`).
+    """
+    _check_pow2(n_partitions)
+    ev = with_partition_id(
+        evict_hashes.select("url_hash").withColumn("is_evict", F.lit(True)),
+        n_partitions,
+    )
+    if kind == "cuckoo":
+        hashes = ev
+    else:
+        touched = ev.select("partition_id").distinct()
+        keep = (
+            with_partition_id(exact_seen.select("url_hash"), n_partitions)
+            .join(touched, "partition_id")
+            .join(evict_hashes.select("url_hash"), "url_hash", "left_anti")
+            .withColumn("is_evict", F.lit(False))
+        )
+        hashes = ev.unionByName(keep)
+
+    def apply_evictions(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            columns=["partition_id", "bloom_bytes", "n_items", "round"]
+        )
+        if left.empty or not left["is_evict"].any() or right.empty:
+            return empty  # nothing to evict, or no filter to evict from
+        pid = int(left["partition_id"].iloc[0])
+        f = filter_from_bytes(bytes(right["bloom_bytes"].iloc[0]))
+        ev_vals = left.loc[left["is_evict"], "url_hash"].to_numpy()
+        if isinstance(f, CuckooPartition):
+            f.delete(ev_vals)
+        elif kind == "cuckoo":
+            raise ValueError(
+                "kind='cuckoo' eviction hit a bloom partition; rerun with "
+                "kind='bloom' so the exact rows ship for a rebuild"
+            )
+        else:
+            keep_vals = left.loc[~left["is_evict"], "url_hash"].to_numpy()
+            f = _new_filter("bloom", max(MIN_CAPACITY, 2 * len(keep_vals)))
+            f.add(keep_vals)
+        return pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "bloom_bytes": [f.to_bytes()],
+                "n_items": [int(f.n_items)],
+                "round": [round_no],
+            }
+        )
+
+    return (
+        hashes.groupBy("partition_id")
+        .cogroup(filter_state.groupBy("partition_id"))
+        .applyInPandas(apply_evictions, URLSEEN_BLOOM_SCHEMA)
+    )
