@@ -2,11 +2,13 @@
 
 One round = one DataFrame job DAG:
 
-``frontier(queued, round=r) → P2 validity (done at enqueue) → P3
-freshness vs latest results → J2 urlseen bloom anti-join (exact-
-confirmed) → W2/T4 salted per-host politeness top-k → J8 fetch join
-against pages → X1-X10 mapInPandas extraction → fan-out: results ∥
-urlseen delta ∥ frontier delta (links + deferred + retries) ∥ metrics``
+``frontier(queued, round=r) → [T3 expiry: stale urls leave the seen
+set (tombstones + in-place cuckoo delete) and requeue] → P2 validity
+(done at enqueue) → P3 freshness vs latest results → J2 urlseen
+bloom/cuckoo anti-join (exact-confirmed) → W2/T4 salted per-host
+politeness top-k → J8 fetch join against pages → X1-X10 mapInPandas
+extraction → fan-out: results ∥ urlseen delta ∥ frontier delta (links
++ deferred + retries + expired requeues) ∥ tombstones ∥ metrics``
 
 then one atomic manifest commit (T6).  Resume = last committed round +
 1; a crashed round leaves no visible state and re-executes.
@@ -35,7 +37,14 @@ from .politeness import politeness_ranked
 from .sparkfns import with_url_identity
 from .storage import Warehouse
 from .synth import EPOCH
-from .urlseen import latest_blooms, probe_unseen, updated_bloom_partitions
+from .urlseen import (
+    effective_exact,
+    evicted_seen_partitions,
+    latest_blooms,
+    probe_unseen,
+    updated_bloom_partitions,
+    with_partition_id,
+)
 
 
 @dataclass
@@ -58,6 +67,17 @@ class CrawlConfig:
     # at ~the same memory.  The probe path is identical for both; the
     # final URL-seen set is exact either way (exact-confirm join).
     seen_filter: str = "bloom"
+    # Recrawl expiry (T3 engine mechanism): a url whose newest stored
+    # doc is older than this many days is EVICTED from the URL-seen set
+    # (tombstone rows, O(evicted) — see urlseen.effective_exact) and
+    # requeued for the next round, closing the fetch→stale→refetch
+    # cycle the freshness predicate (fresh_days) only filters on.  With
+    # seen_filter="cuckoo" the filter fingerprints are also deleted
+    # in place; bloom partitions keep their bits (exact-confirm absorbs
+    # the false positives).  None (default) disables expiry — zero
+    # added work per round.  Only content-bearing (status=ok) urls
+    # expire; terminal failures (not_found/too_large) stay seen.
+    expire_days: int | None = None
     now: datetime = field(default=EPOCH + timedelta(days=1))
 
 
@@ -179,14 +199,19 @@ def run_round(
         wh.read(spark, "urlseen_bloom", schema.URLSEEN_BLOOM_SCHEMA)
     )
     exact = wh.read(spark, "urlseen_exact", schema.URLSEEN_EXACT_SCHEMA)
+    # Recrawl-expiry tombstones (manifest-gated: zero work until the
+    # first expiry ever commits) — every exact consumer below sees the
+    # LIVE seen set.
+    if wh.committed_rounds("urlseen_evicted"):
+        exact = effective_exact(
+            exact,
+            wh.read(spark, "urlseen_evicted", schema.URLSEEN_EVICTED_SCHEMA),
+        )
     results_prev = wh.read(spark, "results", schema.RESULTS_SCHEMA)
 
     queued = queued.persist()
     metrics: dict[str, int] = {"queued": queued.count()}
     tick("read+queued.count")
-    if metrics["queued"] == 0:
-        queued.unpersist()
-        return None
 
     # Manifest-metadata short-circuits (no Spark jobs): round 1 of any
     # crawl has no stored results and no seen-set — skip the freshness
@@ -194,6 +219,75 @@ def run_round(
     # empty state.
     have_results = bool(wh.committed_rounds("results"))
     have_seen = bool(wh.committed_rounds("urlseen_exact"))
+
+    # T3 recrawl expiry: urls whose newest stored doc has gone stale
+    # leave the seen set (tombstones + optional in-place cuckoo delete)
+    # and re-enter the frontier.  ``seen_round == res_round`` pins
+    # eligibility to urls whose LAST terminal outcome was that stored
+    # doc — a url refetched after a previous expiry that 404'd has a
+    # newer exact row and is never re-expired, so dead urls cannot
+    # requeue-loop.  Urls already queued this round or later are
+    # excluded (they are about to be fetched anyway).
+    stale = None
+    if cfg.expire_days is not None and have_results and have_seen:
+        latest_meta = (
+            results_prev.select(
+                "url_hash", "url", "url_canon", "host", "depth",
+                "fetched_ts", "round", "id",
+            )
+            .groupBy("url_hash")
+            .agg(
+                F.max_by(
+                    F.struct("url", "url_canon", "host", "depth",
+                             "fetched_ts", "round"),
+                    F.struct("fetched_ts", "id"),
+                ).alias("s")
+            )
+            .select(
+                "url_hash", "s.url", "s.url_canon", "s.host", "s.depth",
+                F.col("s.fetched_ts").alias("res_ts"),
+                F.col("s.round").alias("res_round"),
+            )
+        )
+        seen_latest = exact.groupBy("url_hash").agg(
+            F.max("round").alias("seen_round")
+        )
+        expire_cut = cfg.now - timedelta(days=cfg.expire_days)
+        pending = frontier.where(
+            (F.col("status") == "queued") & (F.col("round") >= round_no)
+        ).select("url_hash")
+        stale = (
+            latest_meta.join(seen_latest, "url_hash")
+            .where(
+                (F.col("seen_round") == F.col("res_round"))
+                & (F.col("res_ts") <= F.lit(expire_cut))
+            )
+            .join(pending, "url_hash", "left_anti")
+            .persist()  # feeds eviction delta, tombstones, requeue
+        )
+        metrics["expired"] = stale.count()
+        if metrics["expired"] == 0:
+            stale.unpersist()
+            stale = None
+
+    if metrics["queued"] == 0 and stale is None:
+        queued.unpersist()
+        return None
+
+    evict_delta = None
+    if stale is not None:
+        # In-flight view: this round's probes and rebuild sources must
+        # not see the urls being evicted (their tombstones commit with
+        # this round).
+        exact = exact.join(stale.select("url_hash"), "url_hash", "left_anti")
+        if cfg.seen_filter == "cuckoo":
+            evict_delta = evicted_seen_partitions(
+                stale.select("url_hash"), bloom_state, exact.limit(0),
+                cfg.n_bloom_partitions, round_no, kind="cuckoo",
+                strict=False,  # mixed payloads after a kind switch: skip
+            ).persist()
+            # downstream probe + insert-absorb run on the evicted state
+            bloom_state = latest_blooms(bloom_state.unionByName(evict_delta))
 
     def probe(df: DataFrame) -> DataFrame:
         if not have_seen:
@@ -261,6 +355,24 @@ def run_round(
         new_seen, bloom_state, exact, cfg.n_bloom_partitions, round_no,
         kind=cfg.seen_filter,
     )
+    if evict_delta is not None:
+        # One filter row per (partition, round): partitions receiving
+        # inserts this round already absorbed the eviction (the insert
+        # delta was computed on the evicted state); evict-only
+        # partitions ship their delta directly.  ``insert_touched`` is
+        # derived from the narrow persisted new_seen frame — by
+        # construction exactly the partitions updated_bloom_partitions
+        # emits rows for — so neither cogroup evaluates twice.
+        insert_touched = (
+            with_partition_id(
+                new_seen.select("url_hash"), cfg.n_bloom_partitions
+            )
+            .select("partition_id")
+            .distinct()
+        )
+        bloom_delta = bloom_delta.unionByName(
+            evict_delta.join(insert_touched, "partition_id", "left_anti")
+        )
 
     # Frontier growth: out-links of ok pages, deduped deterministically,
     # minus (seen ∪ just-fetched ∪ still-queued deferred/retries).
@@ -300,12 +412,23 @@ def run_round(
         "url", "url_canon", "url_hash", "host", "depth", "priority",
         "discovered_ts", "retry_count",
     )
-    frontier_delta = _dedupe_frontier(
+    growth = (
         _as_frontier(links_unseen, round_no + 1)
         .unionByName(_as_frontier(deferred_next, round_no + 1))
-        .unionByName(_as_frontier(retries, round_no + 1)),
-        round_no + 1,
+        .unionByName(_as_frontier(retries, round_no + 1))
     )
+    if stale is not None:
+        # Expired urls re-enter the frontier at their stored depth
+        # (recrawl, not rediscovery).  A stale url also rediscovered via
+        # links this round merges in _dedupe_frontier (min-depth wins).
+        requeue = (
+            stale.select("url", "url_canon", "url_hash", "host", "depth")
+            .withColumn("priority", F.lit(0.0))
+            .withColumn("retry_count", F.lit(0))
+            .withColumn("discovered_ts", F.lit(cfg.now))
+        )
+        growth = growth.unionByName(_as_frontier(requeue, round_no + 1))
+    frontier_delta = _dedupe_frontier(growth, round_no + 1)
 
     # -- persist + atomic commit (T6) ------------------------------------
     # Materializing the narrow frame runs extraction AND the in-task
@@ -327,12 +450,19 @@ def run_round(
         F.count("*").alias("rows_in"),
         F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("rows_out"),
     )
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         write_futs = [
             pool.submit(wh.write, new_seen, "urlseen_exact", round_no),
             pool.submit(wh.write, bloom_delta, "urlseen_bloom", round_no),
             pool.submit(wh.write, frontier_delta, "frontier", round_no),
         ]
+        if stale is not None:
+            tomb_delta = stale.select("url_hash").withColumn(
+                "round", F.lit(round_no).cast("int")
+            )
+            write_futs.append(
+                pool.submit(wh.write, tomb_delta, "urlseen_evicted", round_no)
+            )
         part_fut = pool.submit(part_agg.collect)
         for fut in write_futs:
             fut.result()
@@ -362,18 +492,22 @@ def run_round(
     # true table row count (stage rows + per-partition lineage rows)
     metrics_rows = wh.row_count("metrics", round_no)
     # Commit keys are TABLE names (the manifest is what readers prune on).
-    wh.commit_round(
-        round_no,
-        {
-            "results": metrics["results"],
-            "urlseen_exact": metrics["new_seen"],
-            "urlseen_bloom": metrics["new_seen"],
-            "frontier": metrics["frontier_delta"],
-            "metrics": metrics_rows,
-        },
-    )
+    commit_tables = {
+        "results": metrics["results"],
+        "urlseen_exact": metrics["new_seen"],
+        "urlseen_bloom": metrics["new_seen"],
+        "frontier": metrics["frontier_delta"],
+        "metrics": metrics_rows,
+    }
+    if stale is not None:
+        commit_tables["urlseen_evicted"] = metrics["expired"]
+    wh.commit_round(round_no, commit_tables)
     for df in (queued, new_cand, ranked, extracted, new_seen):
         df.unpersist()
+    if stale is not None:
+        stale.unpersist()
+    if evict_delta is not None:
+        evict_delta.unpersist()
     return metrics
 
 

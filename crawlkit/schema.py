@@ -79,6 +79,17 @@ URLSEEN_EXACT_SCHEMA = T.StructType(
     ]
 )
 
+# Recrawl-expiry tombstones: a row (h, r) kills urlseen_exact rows for
+# url_hash h with round <= r, making the url probe as unseen again
+# (rounds.run_round expiry; urlseen.effective_exact).  O(evicted) rows
+# per expiry instead of rewriting the exact table.
+URLSEEN_EVICTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
 HOSTBUDGET_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType(), False),

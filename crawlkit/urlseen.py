@@ -216,6 +216,7 @@ def evicted_seen_partitions(
     n_partitions: int,
     round_no: int,
     kind: str = "bloom",
+    strict: bool = True,
 ) -> DataFrame:
     """New filter rows for the partitions touched by an eviction batch
     (stale-URL expiry: make evicted urls probe as unseen again so the
@@ -228,7 +229,11 @@ def evicted_seen_partitions(
     (``kind="bloom"`` ships the touched partitions' exact rows for
     that).  Passing ``kind="cuckoo"`` skips shipping the exact rows
     entirely; a bloom payload encountered in that mode raises, never
-    silently drops items.
+    silently drops items — unless ``strict=False``, which SKIPS bloom
+    partitions instead (no delta row; the stale bits stay set and the
+    exact-confirm join absorbs the false positives — semantically safe,
+    used by the engine's in-round expiry where a mid-crawl kind switch
+    may leave mixed payloads).
 
     Exact-table maintenance (removing the evicted rows from
     ``urlseen_exact``) is the caller's transaction; this function only
@@ -265,6 +270,9 @@ def evicted_seen_partitions(
         if isinstance(f, CuckooPartition):
             f.delete(ev_vals)
         elif kind == "cuckoo":
+            if not strict:
+                return empty  # bloom payload under lenient cuckoo mode:
+                # leave the bits set; exact-confirm absorbs the FPs
             raise ValueError(
                 "kind='cuckoo' eviction hit a bloom partition; rerun with "
                 "kind='bloom' so the exact rows ship for a rebuild"
@@ -286,4 +294,31 @@ def evicted_seen_partitions(
         hashes.groupBy("partition_id")
         .cogroup(filter_state.groupBy("partition_id"))
         .applyInPandas(apply_evictions, URLSEEN_BLOOM_SCHEMA)
+    )
+
+
+def effective_exact(exact_seen: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """The live exact seen set under recrawl-expiry tombstones.
+
+    A tombstone row (h, r) kills exact rows for url_hash h with
+    ``round <= r`` — round-aware so a url re-crawled AFTER its eviction
+    (its new exact row has round > r) is seen again without having to
+    delete the tombstone.  Expiry thus writes O(evicted) tombstone rows
+    instead of rewriting the append-only exact table; this filter is
+    the read-side contract every exact consumer applies.
+
+    The join side is the (usually tiny) per-hash max tombstone round;
+    AQE picks broadcast when it fits — no explicit broadcast hint, so a
+    corpus-scale expiry cannot OOM the driver.
+    """
+    tomb = tombstones.groupBy("url_hash").agg(
+        F.max("round").alias("evict_round")
+    )
+    return (
+        exact_seen.join(tomb, "url_hash", "left")
+        .where(
+            F.col("evict_round").isNull()
+            | (F.col("round") > F.col("evict_round"))
+        )
+        .drop("evict_round")
     )

@@ -1,0 +1,139 @@
+"""T3 recrawl expiry: stale urls leave the URL-seen set (tombstones +
+in-place cuckoo eviction) and get refetched; dead urls never
+requeue-loop; the cycle terminates once everything is fresh.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlkit import schema
+from crawlkit.rounds import CrawlConfig, run_crawl
+from crawlkit.storage import Warehouse
+from crawlkit.synth import EPOCH, robots_df, seeds_df
+from crawlkit.urlseen import effective_exact
+
+T0 = EPOCH + timedelta(days=1)
+T1 = EPOCH + timedelta(days=11)
+
+
+def _cfg(wh_dir, seen_filter, **kw):
+    return CrawlConfig(warehouse=wh_dir, n_bloom_partitions=16,
+                       max_depth=3, salt=4, seen_filter=seen_filter, **kw)
+
+
+def _results(spark, wh_dir):
+    wh = Warehouse(wh_dir)
+    return wh.read(spark, "results", schema.RESULTS_SCHEMA)
+
+
+def _run_expiry_cycle(spark, pages, synth_cfg, wh_dir, seen_filter):
+    """Initial crawl at T0, then resume at T1 with a 3-day expiry.
+    Returns (initial urls, recrawl metrics list, results frame)."""
+    run_crawl(spark, _cfg(wh_dir, seen_filter, now=T0), pages,
+              seeds_df(spark, synth_cfg), robots_df(spark, synth_cfg),
+              max_rounds=6)
+    first = {
+        r["url_canon"]
+        for r in _results(spark, wh_dir).select("url_canon").collect()
+    }
+    assert first, "initial crawl fetched nothing"
+    mets = run_crawl(spark, _cfg(wh_dir, seen_filter, now=T1, expire_days=3),
+                     pages, max_rounds=6)
+    return first, mets, _results(spark, wh_dir)
+
+
+def test_expiry_requeues_and_refetches(spark, pages, synth_cfg,
+                                       tmp_warehouse):
+    first, mets, results = _run_expiry_cycle(
+        spark, pages, synth_cfg, tmp_warehouse, "bloom"
+    )
+    # the resumed crawl expired the stale docs and recrawled them
+    assert any(m.get("expired", 0) > 0 for m in mets)
+    refetched = {
+        r["url_canon"]
+        for r in results.where(F.col("fetched_ts") == F.lit(T1))
+        .select("url_canon").collect()
+    }
+    assert refetched == first  # every T0 doc went stale → all recrawled
+    # tombstones committed; the effective seen set keeps exactly the
+    # re-crawled (newer-round) rows for those urls
+    wh = Warehouse(tmp_warehouse)
+    tomb = wh.read(spark, "urlseen_evicted", schema.URLSEEN_EVICTED_SCHEMA)
+    assert tomb.count() == len(first)
+    exact = wh.read(spark, "urlseen_exact", schema.URLSEEN_EXACT_SCHEMA)
+    live = effective_exact(exact, tomb)
+    dup = (live.groupBy("url_hash").count().where(F.col("count") > 1))
+    assert dup.count() == 0
+    assert live.count() == exact.count() - tomb.count()
+    # everything fresh now → a further resume is an immediate no-op
+    again = run_crawl(
+        spark, _cfg(tmp_warehouse, "bloom", now=T1, expire_days=3),
+        pages, max_rounds=6)
+    assert again == []
+
+
+def test_expiry_cuckoo_matches_bloom(spark, pages, synth_cfg,
+                                     tmp_path_factory):
+    """The whole expire→requeue→refetch cycle is filter-agnostic: the
+    final results set is identical under bloom and cuckoo (cuckoo
+    additionally deletes fingerprints in place; exact-confirm makes
+    the seen set exact either way)."""
+    outs = {}
+    for kind in ("bloom", "cuckoo"):
+        wh_dir = str(tmp_path_factory.mktemp(f"wh-exp-{kind}"))
+        _, mets, results = _run_expiry_cycle(
+            spark, pages, synth_cfg, wh_dir, kind
+        )
+        assert any(m.get("expired", 0) > 0 for m in mets)
+        outs[kind] = {
+            (r["url_canon"], r["fetched_ts"], r["round"])
+            for r in results.select("url_canon", "fetched_ts", "round")
+            .collect()
+        }
+    assert outs["bloom"] == outs["cuckoo"]
+
+
+def test_effective_exact_is_round_aware(spark):
+    exact = spark.createDataFrame(
+        [(7, "a", 1), (7, "a", 5), (9, "b", 2)],
+        schema.URLSEEN_EXACT_SCHEMA,
+    )
+    tomb = spark.createDataFrame([(7, 3)], schema.URLSEEN_EVICTED_SCHEMA)
+    live = {(r["url_hash"], r["round"])
+            for r in effective_exact(exact, tomb).collect()}
+    # the round-5 re-crawl survives its round-3 tombstone; round-1 dies
+    assert live == {(7, 5), (9, 2)}
+    tomb_all = spark.createDataFrame([(7, 7), (9, 2)],
+                                     schema.URLSEEN_EVICTED_SCHEMA)
+    assert effective_exact(exact, tomb_all).count() == 0
+
+
+def test_lenient_cuckoo_eviction_skips_bloom_payloads(spark):
+    """strict=False: a bloom payload under kind='cuckoo' produces no
+    delta (bits stay set; exact-confirm absorbs the FPs) instead of
+    raising — the engine's in-round mode, safe across a mid-crawl
+    seen_filter switch."""
+    from crawlkit.urlseen import (evicted_seen_partitions,
+                                  updated_bloom_partitions)
+
+    df = spark.createDataFrame([(h,) for h in range(100)], "url_hash long")
+    state = updated_bloom_partitions(
+        df, spark.createDataFrame([], schema.URLSEEN_BLOOM_SCHEMA),
+        df.limit(0), 8, round_no=1, kind="bloom",
+    ).persist()
+    assert state.count() > 0
+    delta = evicted_seen_partitions(
+        df.limit(10), state, df.limit(0), 8, round_no=2,
+        kind="cuckoo", strict=False,
+    )
+    assert delta.count() == 0
+    with pytest.raises(Exception):
+        evicted_seen_partitions(
+            df.limit(10), state, df.limit(0), 8, round_no=2,
+            kind="cuckoo", strict=True,
+        ).count()
+    state.unpersist()
