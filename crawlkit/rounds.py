@@ -158,7 +158,8 @@ def bootstrap(
     # .count() here would re-run the whole canonicalize+dedupe plan
     # (the seed UDF pass twice per crawl), pure fixed overhead
     wh.commit_round(0, {"frontier": wh.row_count("frontier", 0),
-                        "hostbudget": wh.row_count("hostbudget", 0)})
+                        "hostbudget": wh.row_count("hostbudget", 0)},
+                    ts=cfg.now.isoformat())
     return wh
 
 
@@ -173,6 +174,55 @@ def _latest_results(results: DataFrame) -> DataFrame:
         )
         .select("url_canon", F.col("s.title").alias("prev_title"),
                 F.col("s.fetched_ts").alias("prev_fetched_ts"))
+    )
+
+
+def _compute_stale(
+    results_old: DataFrame,
+    exact: DataFrame,
+    frontier: DataFrame,
+    expire_cut,
+    round_no: int,
+) -> DataFrame:
+    """Expiry candidates: urls whose newest stored doc (within the
+    manifest-pruned old shards) is stale AND whose seen-set entry is
+    that same fetch — see run_round's expiry comment for why the
+    pruned view stays correct.  The exact table (the 10^10-row side)
+    is narrowed to candidate hashes BEFORE its max-round aggregation:
+    the candidate set is bounded by the old shards' url count, so AQE
+    can broadcast it and the exact side never shuffles in full."""
+    latest_meta = (
+        results_old.select(
+            "url_hash", "url", "url_canon", "host", "depth",
+            "fetched_ts", "round", "id",
+        )
+        .groupBy("url_hash")
+        .agg(
+            F.max_by(
+                F.struct("url", "url_canon", "host", "depth",
+                         "fetched_ts", "round"),
+                F.struct("fetched_ts", "id"),
+            ).alias("s")
+        )
+        .select(
+            "url_hash", "s.url", "s.url_canon", "s.host", "s.depth",
+            F.col("s.fetched_ts").alias("res_ts"),
+            F.col("s.round").alias("res_round"),
+        )
+    )
+    cand = latest_meta.where(F.col("res_ts") <= F.lit(expire_cut))
+    seen_latest = (
+        exact.join(cand.select("url_hash"), "url_hash")
+        .groupBy("url_hash")
+        .agg(F.max("round").alias("seen_round"))
+    )
+    pending = frontier.where(
+        (F.col("status") == "queued") & (F.col("round") >= round_no)
+    ).select("url_hash")
+    return (
+        cand.join(seen_latest, "url_hash")
+        .where(F.col("seen_round") == F.col("res_round"))
+        .join(pending, "url_hash", "left_anti")
     )
 
 
@@ -230,45 +280,25 @@ def run_round(
     # excluded (they are about to be fetched anyway).
     stale = None
     if cfg.expire_days is not None and have_results and have_seen:
-        latest_meta = (
-            results_prev.select(
-                "url_hash", "url", "url_canon", "host", "depth",
-                "fetched_ts", "round", "id",
-            )
-            .groupBy("url_hash")
-            .agg(
-                F.max_by(
-                    F.struct("url", "url_canon", "host", "depth",
-                             "fetched_ts", "round"),
-                    F.struct("fetched_ts", "id"),
-                ).alias("s")
-            )
-            .select(
-                "url_hash", "s.url", "s.url_canon", "s.host", "s.depth",
-                F.col("s.fetched_ts").alias("res_ts"),
-                F.col("s.round").alias("res_round"),
-            )
-        )
-        seen_latest = exact.groupBy("url_hash").agg(
-            F.max("round").alias("seen_round")
-        )
         expire_cut = cfg.now - timedelta(days=cfg.expire_days)
-        pending = frontier.where(
-            (F.col("status") == "queued") & (F.col("round") >= round_no)
-        ).select("url_hash")
-        stale = (
-            latest_meta.join(seen_latest, "url_hash")
-            .where(
-                (F.col("seen_round") == F.col("res_round"))
-                & (F.col("res_ts") <= F.lit(expire_cut))
-            )
-            .join(pending, "url_hash", "left_anti")
-            .persist()  # feeds eviction delta, tombstones, requeue
-        )
-        metrics["expired"] = stale.count()
-        if metrics["expired"] == 0:
-            stale.unpersist()
-            stale = None
+        # Manifest pruning (100 TB shape): a results shard's logical ts
+        # is its crawl's cfg.now == every row's fetched_ts, so only
+        # shards with ts <= cutoff can contain expirable rows — the
+        # scan is O(old shards), not O(results).  Correct even though
+        # newer shards are skipped: a url refetched recently has a
+        # newer exact row, so ``seen_round == res_round`` below already
+        # rules it out without ever reading the newer result.
+        old_rounds = wh.rounds_at_or_before("results", expire_cut.isoformat())
+        if old_rounds:
+            stale = _compute_stale(
+                wh.read(spark, "results", schema.RESULTS_SCHEMA,
+                        rounds=old_rounds),
+                exact, frontier, expire_cut, round_no,
+            ).persist()  # feeds eviction delta, tombstones, requeue
+            metrics["expired"] = stale.count()
+            if metrics["expired"] == 0:
+                stale.unpersist()
+                stale = None
 
     if metrics["queued"] == 0 and stale is None:
         queued.unpersist()
@@ -501,7 +531,7 @@ def run_round(
     }
     if stale is not None:
         commit_tables["urlseen_evicted"] = metrics["expired"]
-    wh.commit_round(round_no, commit_tables)
+    wh.commit_round(round_no, commit_tables, ts=cfg.now.isoformat())
     for df in (queued, new_cand, ranked, extracted, new_seen):
         df.unpersist()
     if stale is not None:

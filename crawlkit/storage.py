@@ -88,11 +88,18 @@ class Warehouse:
             return {"last_round": None, "rounds": {}}
         return json.loads(self._manifest_path.read_text())
 
-    def commit_round(self, round_no: int, tables: dict[str, int]) -> None:
-        """Atomically publish a round: record table row-counts; readers
-        never see data from uncommitted rounds."""
+    def commit_round(self, round_no: int, tables: dict[str, int],
+                     ts: str | None = None) -> None:
+        """Atomically publish a round: record table row-counts (plus an
+        optional logical timestamp — the crawl's ``cfg.now`` — used by
+        recrawl expiry to manifest-prune which results shards can even
+        CONTAIN expirable rows); readers never see data from
+        uncommitted rounds."""
         manifest = self._read_manifest()
-        manifest["rounds"][str(round_no)] = {"tables": tables}
+        entry: dict = {"tables": tables}
+        if ts is not None:
+            entry["ts"] = ts
+        manifest["rounds"][str(round_no)] = entry
         last = manifest["last_round"]
         manifest["last_round"] = round_no if last is None else max(last, round_no)
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_manifest_", suffix=".tmp")
@@ -109,6 +116,19 @@ class Warehouse:
             int(r)
             for r, info in manifest["rounds"].items()
             if table in info["tables"]
+        )
+
+    def rounds_at_or_before(self, table: str, ts: str) -> list[int]:
+        """Committed rounds of ``table`` whose logical timestamp is
+        <= ``ts`` (ISO-8601 strings compare lexicographically).  Rounds
+        committed WITHOUT a timestamp are conservatively included —
+        they may be old, and including extra shards only costs scan
+        bytes, never correctness."""
+        manifest = self._read_manifest()
+        return sorted(
+            int(r)
+            for r, info in manifest["rounds"].items()
+            if table in info["tables"] and info.get("ts", "") <= ts
         )
 
     # -- data -------------------------------------------------------------

@@ -112,6 +112,20 @@ def test_effective_exact_is_round_aware(spark):
     assert effective_exact(exact, tomb_all).count() == 0
 
 
+def test_rounds_at_or_before_prunes_by_manifest_ts(tmp_warehouse):
+    """Expiry's shard pruning: ts <= cutoff included, newer excluded,
+    legacy rounds without a ts conservatively included."""
+    wh = Warehouse(tmp_warehouse)
+    wh.commit_round(1, {"results": 5}, ts="2026-01-01T00:00:00")
+    wh.commit_round(2, {"results": 5}, ts="2026-06-01T00:00:00")
+    wh.commit_round(3, {"results": 5})  # legacy: no ts
+    wh.commit_round(4, {"frontier": 5}, ts="2026-01-01T00:00:00")
+    assert wh.rounds_at_or_before("results", "2026-01-01T00:00:00") == [1, 3]
+    assert wh.rounds_at_or_before("results", "2026-12-31T00:00:00") == [1, 2, 3]
+    assert wh.rounds_at_or_before("results", "2025-01-01T00:00:00") == [3]
+    assert wh.committed_rounds("results") == [1, 2, 3]
+
+
 def test_lenient_cuckoo_eviction_skips_bloom_payloads(spark):
     """strict=False: a bloom payload under kind='cuckoo' produces no
     delta (bits stay set; exact-confirm absorbs the FPs) instead of
