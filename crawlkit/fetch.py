@@ -178,35 +178,52 @@ def fetch_extract_write(
     narrow_cols = [f.name for f in NARROW_EXTRACTED_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        wide: list[dict] = []
-        for pdf in _extract_partition(batches):
-            ok = pdf[pdf["status"] == "ok"]
-            for row in ok.itertuples(index=False):
-                wide.append(
-                    {
-                        "id": make_doc_id(row.url_canon, fetched_ts),
-                        "url": row.url,
-                        "url_canon": row.url_canon,
-                        "url_hash": row.url_hash,
-                        "host": row.host,
-                        "src": row.src,
-                        "title": row.title,
-                        "meta": list((row.meta or {}).items()),
-                        "content": row.content,
-                        "html": row.html,
-                        "page_len": row.page_len,
-                        "text": row.text,
-                        "lang": row.lang,
-                        "status": row.status,
-                        "depth": row.depth,
-                        "fetched_ts": fetched_ts,
-                        "round": round_no,
-                    }
-                )
-            yield pdf[narrow_cols]
-        if wide:
-            table = pa.Table.from_pylist(wide, schema=_results_arrow_schema())
-            sink.write(table, TaskContext.get().partitionId())
+        # Incremental shard write: one parquet row group per Arrow
+        # batch, so the worker holds O(batch) wide bytes — never the
+        # task's whole shard (O(task-share) would be gigabytes at the
+        # design point).  Opened lazily: a task with no ok rows leaves
+        # no file (same contract as the old one-shot write).
+        writer = None
+        try:
+            for pdf in _extract_partition(batches):
+                ok = pdf[pdf["status"] == "ok"]
+                wide: list[dict] = []
+                for row in ok.itertuples(index=False):
+                    wide.append(
+                        {
+                            "id": make_doc_id(row.url_canon, fetched_ts),
+                            "url": row.url,
+                            "url_canon": row.url_canon,
+                            "url_hash": row.url_hash,
+                            "host": row.host,
+                            "src": row.src,
+                            "title": row.title,
+                            "meta": list((row.meta or {}).items()),
+                            "content": row.content,
+                            "html": row.html,
+                            "page_len": row.page_len,
+                            "text": row.text,
+                            "lang": row.lang,
+                            "status": row.status,
+                            "depth": row.depth,
+                            "fetched_ts": fetched_ts,
+                            "round": round_no,
+                        }
+                    )
+                if wide:
+                    table = pa.Table.from_pylist(
+                        wide, schema=_results_arrow_schema()
+                    )
+                    if writer is None:
+                        writer = sink.open_writer(
+                            TaskContext.get().partitionId(),
+                            _results_arrow_schema(),
+                        )
+                    writer.write_table(table)
+                yield pdf[narrow_cols]
+        finally:
+            if writer is not None:
+                writer.close()
 
     return _join_pages(selected, pages, n_selected).mapInPandas(
         run, NARROW_EXTRACTED_SCHEMA

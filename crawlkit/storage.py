@@ -72,6 +72,42 @@ class ShardSink:
         ) as out:
             pq.write_table(table, out, compression="zstd")
 
+    def open_writer(self, shard_id: int, schema) -> "ShardWriter":
+        """Incremental variant of :meth:`write`: same shard name and
+        overwrite-by-task-id protocol, but rows stream out one row
+        group per Arrow batch (``pyarrow.parquet.ParquetWriter``), so
+        a task holds O(batch) wide bytes instead of accumulating its
+        whole shard in memory — the difference between a bounded and
+        an O(task-share) worker footprint when one task's share is
+        gigabytes at the 10^10-URL design point."""
+        import pyarrow.parquet as pq
+
+        filesystem, root = _fs_and_root(self.path)
+        filesystem.create_dir(root, recursive=True)
+        stream = filesystem.open_output_stream(
+            f"{root}/part-{shard_id:05d}.parquet"
+        )
+        return ShardWriter(stream, pq.ParquetWriter(
+            stream, schema, compression="zstd"))
+
+
+class ShardWriter:
+    """Open incremental shard: feed Arrow tables, then close (closes
+    the parquet footer AND the store stream — a shard is only complete
+    after close; a task that dies mid-write leaves a torn file that the
+    next attempt of the SAME task id overwrites by name)."""
+
+    def __init__(self, stream, writer) -> None:
+        self._stream = stream
+        self._writer = writer
+
+    def write_table(self, table) -> None:
+        self._writer.write_table(table)
+
+    def close(self) -> None:
+        self._writer.close()
+        self._stream.close()
+
 
 class Warehouse:
     def __init__(self, path: str | os.PathLike) -> None:

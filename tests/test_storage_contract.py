@@ -82,6 +82,39 @@ def test_task_retry_overwrites_own_shard(spark, tmp_warehouse):
     assert rows == ["https://try2.example/"]
 
 
+def test_incremental_writer_streams_row_groups(spark, tmp_warehouse):
+    """ShardSink.open_writer: multiple Arrow batches land in ONE shard
+    (one row group each, O(batch) worker memory), same overwrite-by-
+    task-id retry protocol as the one-shot write, invisible until
+    commit."""
+    import pyarrow.parquet as pq
+
+    wh = Warehouse(tmp_warehouse)
+    sink = wh.staging_sink("urlseen_exact", 1)
+    w = sink.open_writer(0, _shard([]).schema)
+    w.write_table(_shard([(1, "https://a.example/")]))
+    w.write_table(_shard([(2, "https://b.example/")]))
+    w.close()
+    # retried task overwrites its own shard by name
+    w2 = sink.open_writer(0, _shard([]).schema)
+    w2.write_table(_shard([(3, "https://c.example/")]))
+    w2.write_table(_shard([(4, "https://d.example/")]))
+    w2.close()
+    assert (
+        wh.read(spark, "urlseen_exact", schema.URLSEEN_EXACT_SCHEMA).count()
+        == 0
+    )  # invisible pre-commit
+    wh.commit_round(1, {"urlseen_exact": wh.row_count("urlseen_exact", 1)})
+    got = sorted(
+        r["url_canon"]
+        for r in wh.read(spark, "urlseen_exact", schema.URLSEEN_EXACT_SCHEMA)
+        .select("url_canon").collect()
+    )
+    assert got == ["https://c.example/", "https://d.example/"]
+    [f] = list((wh.round_path("urlseen_exact", 1)).glob("*.parquet"))
+    assert pq.ParquetFile(f).metadata.num_row_groups == 2
+
+
 def test_fetch_holds_no_filesystem_assumptions():
     """The fetch stage must route every byte through the warehouse
     protocol — no raw path handling that would silently assume POSIX
