@@ -85,16 +85,12 @@ def test_unknown_size_never_broadcasts(spark, pages):
 
 
 def test_crawl_equivalent_in_forced_large_regime(
-    spark, pages, synth_cfg, tmp_path_factory, monkeypatch
+    spark, pages, synth_cfg, ref_crawl, tmp_path_factory, monkeypatch
 ):
     """Cutoff forced to 1 (every round in the large regime) + bucketed
     pages: the fetched set, result rows, and text bytes all equal the
-    default engine's."""
-    ref_dir = str(tmp_path_factory.mktemp("wh-ref"))
-    cfg = CrawlConfig(warehouse=ref_dir, n_bloom_partitions=16,
-                      max_depth=MAX_DEPTH, salt=4)
-    run_crawl(spark, cfg, pages, seeds_df(spark, synth_cfg),
-              robots_df(spark, synth_cfg), max_rounds=MAX_ROUNDS)
+    default engine's (the session reference crawl)."""
+    ref_dir = ref_crawl[2]
 
     monkeypatch.setenv("CRAWLKIT_MAX_BROADCAST_KEYS", "1")
     big_dir = str(tmp_path_factory.mktemp("wh-big"))

@@ -13,9 +13,7 @@ from pyspark.sql import functions as F
 
 from crawlkit import schema
 from crawlkit.cuckoo import SLOTS_PER_BUCKET, CuckooPartition, buckets_for
-from crawlkit.rounds import CrawlConfig, run_crawl
 from crawlkit.storage import Warehouse
-from crawlkit.synth import robots_df, seeds_df
 
 i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
 
@@ -110,35 +108,25 @@ def test_buckets_for_is_pow2_and_fits():
 # ------------------------------------------------------- engine parity
 
 
-def _crawl(spark, pages, synth_cfg, wh_dir, seen_filter):
-    cfg = CrawlConfig(warehouse=wh_dir, n_bloom_partitions=16,
-                      max_depth=3, salt=4, seen_filter=seen_filter)
-    run_crawl(spark, cfg, pages, seeds_df(spark, synth_cfg),
-              robots_df(spark, synth_cfg), max_rounds=3)
+def _seen_set(spark, wh_dir):
     wh = Warehouse(wh_dir)
     seen = wh.read(spark, "urlseen_exact", schema.URLSEEN_EXACT_SCHEMA)
     return {(r["round"], r["url_canon"])
             for r in seen.select("round", "url_canon").collect()}
 
 
-def test_cuckoo_crawl_matches_bloom_crawl(spark, pages, synth_cfg,
-                                          tmp_path_factory):
+def test_cuckoo_crawl_matches_bloom_crawl(spark, ref_crawl, cuckoo_crawl):
     """Same corpus, same seeds: the per-round URL-seen set is identical
     whichever filter structure backs the probe (exact-confirm keeps the
     set exact; the filter only prices the probe)."""
-    bloom_seen = _crawl(spark, pages, synth_cfg,
-                        str(tmp_path_factory.mktemp("wh-bloomf")), "bloom")
-    cuckoo_seen = _crawl(spark, pages, synth_cfg,
-                         str(tmp_path_factory.mktemp("wh-cuckoof")), "cuckoo")
+    bloom_seen = _seen_set(spark, ref_crawl[2])
+    cuckoo_seen = _seen_set(spark, cuckoo_crawl[2])
     assert bloom_seen == cuckoo_seen
     assert len(cuckoo_seen) > 0
 
 
-def test_cuckoo_crawl_persists_cuckoo_payloads(spark, pages, synth_cfg,
-                                               tmp_path_factory):
-    wh_dir = str(tmp_path_factory.mktemp("wh-cuckoop"))
-    _crawl(spark, pages, synth_cfg, wh_dir, "cuckoo")
-    wh = Warehouse(wh_dir)
+def test_cuckoo_crawl_persists_cuckoo_payloads(spark, cuckoo_crawl):
+    wh = Warehouse(cuckoo_crawl[2])
     payloads = [bytes(r["bloom_bytes"]) for r in
                 wh.read(spark, "urlseen_bloom", schema.URLSEEN_BLOOM_SCHEMA)
                 .select("bloom_bytes").collect()]

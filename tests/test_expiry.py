@@ -13,16 +13,19 @@ from pyspark.sql import functions as F
 from crawlkit import schema
 from crawlkit.rounds import CrawlConfig, run_crawl
 from crawlkit.storage import Warehouse
-from crawlkit.synth import EPOCH, robots_df, seeds_df
+from crawlkit.synth import EPOCH
+
+from conftest import CRAWL_KW, copy_warehouse
 from crawlkit.urlseen import effective_exact
 
-T0 = EPOCH + timedelta(days=1)
+T0 = EPOCH + timedelta(days=1)  # == CrawlConfig.now default (session crawl ts)
 T1 = EPOCH + timedelta(days=11)
 
 
 def _cfg(wh_dir, seen_filter, **kw):
-    return CrawlConfig(warehouse=wh_dir, n_bloom_partitions=16,
-                       max_depth=3, salt=4, seen_filter=seen_filter, **kw)
+    # CRAWL_KW so the resume agrees with the session crawl's config
+    return CrawlConfig(warehouse=wh_dir, seen_filter=seen_filter,
+                       **CRAWL_KW, **kw)
 
 
 def _results(spark, wh_dir):
@@ -30,12 +33,14 @@ def _results(spark, wh_dir):
     return wh.read(spark, "results", schema.RESULTS_SCHEMA)
 
 
-def _run_expiry_cycle(spark, pages, synth_cfg, wh_dir, seen_filter):
-    """Initial crawl at T0, then resume at T1 with a 3-day expiry.
-    Returns (initial urls, recrawl metrics list, results frame)."""
-    run_crawl(spark, _cfg(wh_dir, seen_filter, now=T0), pages,
-              seeds_df(spark, synth_cfg), robots_df(spark, synth_cfg),
-              max_rounds=6)
+def _run_expiry_cycle(spark, pages, src_wh_dir, tmp_path_factory,
+                      seen_filter):
+    """Resume a copy of the session T0 crawl at T1 with a 3-day expiry.
+    The session fixtures (conftest ref_crawl / cuckoo_crawl) ARE the
+    initial T0 crawl: their cfg is CRAWL_KW at the default now == T0.
+    Returns (initial urls, recrawl metrics, results frame, wh_dir)."""
+    wh_dir = copy_warehouse(src_wh_dir, tmp_path_factory,
+                            f"wh-exp-{seen_filter}")
     first = {
         r["url_canon"]
         for r in _results(spark, wh_dir).select("url_canon").collect()
@@ -43,13 +48,13 @@ def _run_expiry_cycle(spark, pages, synth_cfg, wh_dir, seen_filter):
     assert first, "initial crawl fetched nothing"
     mets = run_crawl(spark, _cfg(wh_dir, seen_filter, now=T1, expire_days=3),
                      pages, max_rounds=6)
-    return first, mets, _results(spark, wh_dir)
+    return first, mets, _results(spark, wh_dir), wh_dir
 
 
-def test_expiry_requeues_and_refetches(spark, pages, synth_cfg,
-                                       tmp_warehouse):
-    first, mets, results = _run_expiry_cycle(
-        spark, pages, synth_cfg, tmp_warehouse, "bloom"
+def test_expiry_requeues_and_refetches(spark, pages, ref_crawl,
+                                       tmp_path_factory):
+    first, mets, results, tmp_warehouse = _run_expiry_cycle(
+        spark, pages, ref_crawl[2], tmp_path_factory, "bloom"
     )
     # the resumed crawl expired the stale docs and recrawled them
     assert any(m.get("expired", 0) > 0 for m in mets)
@@ -76,17 +81,16 @@ def test_expiry_requeues_and_refetches(spark, pages, synth_cfg,
     assert again == []
 
 
-def test_expiry_cuckoo_matches_bloom(spark, pages, synth_cfg,
+def test_expiry_cuckoo_matches_bloom(spark, pages, ref_crawl, cuckoo_crawl,
                                      tmp_path_factory):
     """The whole expire→requeue→refetch cycle is filter-agnostic: the
     final results set is identical under bloom and cuckoo (cuckoo
     additionally deletes fingerprints in place; exact-confirm makes
     the seen set exact either way)."""
     outs = {}
-    for kind in ("bloom", "cuckoo"):
-        wh_dir = str(tmp_path_factory.mktemp(f"wh-exp-{kind}"))
-        _, mets, results = _run_expiry_cycle(
-            spark, pages, synth_cfg, wh_dir, kind
+    for kind, src in (("bloom", ref_crawl[2]), ("cuckoo", cuckoo_crawl[2])):
+        _, mets, results, _wh = _run_expiry_cycle(
+            spark, pages, src, tmp_path_factory, kind
         )
         assert any(m.get("expired", 0) > 0 for m in mets)
         outs[kind] = {

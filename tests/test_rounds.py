@@ -20,13 +20,14 @@ from crawlkit.synth import robots_df, seeds_df
 
 from oracle_sim import simulate_crawl
 
-MAX_ROUNDS = 4
-MAX_DEPTH = 3
+from conftest import CRAWL_KW, TERMINAL_ROUNDS
+
+MAX_ROUNDS = TERMINAL_ROUNDS
+MAX_DEPTH = CRAWL_KW["max_depth"]
 
 
 def _crawl(spark, pages, synth_cfg, wh_dir, max_rounds=MAX_ROUNDS):
-    cfg = CrawlConfig(warehouse=wh_dir, n_bloom_partitions=16,
-                      max_depth=MAX_DEPTH, salt=4)
+    cfg = CrawlConfig(warehouse=wh_dir, **CRAWL_KW)
     metrics = run_crawl(
         spark, cfg, pages,
         seeds_df(spark, synth_cfg), robots_df(spark, synth_cfg),
@@ -47,10 +48,8 @@ def _fetch_order(spark, wh_dir):
 
 
 @pytest.fixture(scope="module")
-def crawl_run(spark, pages, synth_cfg, tmp_path_factory):
-    wh_dir = str(tmp_path_factory.mktemp("wh-main"))
-    cfg, metrics = _crawl(spark, pages, synth_cfg, wh_dir)
-    return cfg, metrics, wh_dir
+def crawl_run(ref_crawl):
+    return ref_crawl  # session-scoped terminated crawl (read-only here)
 
 
 @pytest.fixture(scope="module")
@@ -124,11 +123,11 @@ def test_results_match_oracle_titles(spark, crawl_run, sim):
         assert sim.results[cu]["text"] == text  # byte-identical
 
 
-def test_resume_from_checkpoint(spark, pages, synth_cfg, tmp_warehouse):
+def test_resume_from_checkpoint(spark, pages, synth_cfg, tmp_warehouse,
+                                ref_crawl):
     """Run 2 rounds, 'crash', resume → identical final state to an
     uninterrupted run (T6)."""
-    cfg = CrawlConfig(warehouse=tmp_warehouse, n_bloom_partitions=16,
-                      max_depth=MAX_DEPTH, salt=4)
+    cfg = CrawlConfig(warehouse=tmp_warehouse, **CRAWL_KW)
     run_crawl(spark, cfg, pages, seeds_df(spark, synth_cfg),
               robots_df(spark, synth_cfg), max_rounds=2)
     wh = Warehouse(tmp_warehouse)
@@ -136,13 +135,8 @@ def test_resume_from_checkpoint(spark, pages, synth_cfg, tmp_warehouse):
     # resume (no seeds needed — state is in the warehouse)
     run_crawl(spark, cfg, pages, max_rounds=MAX_ROUNDS - 2)
     resumed = _fetch_order(spark, tmp_warehouse)
-    # compare against uninterrupted reference run
-    import tempfile
-
-    with tempfile.TemporaryDirectory() as ref_dir:
-        _crawl(spark, pages, synth_cfg, ref_dir)
-        straight = _fetch_order(spark, ref_dir)
-    assert resumed == straight
+    # identical to the uninterrupted session reference run
+    assert resumed == _fetch_order(spark, ref_crawl[2])
 
 
 def test_uncommitted_round_is_invisible(spark, pages, synth_cfg, tmp_warehouse):
