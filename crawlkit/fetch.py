@@ -178,8 +178,10 @@ def fetch_extract_write(
     narrow_cols = [f.name for f in NARROW_EXTRACTED_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Incremental shard write: one parquet row group per Arrow
-        # batch, so the worker holds O(batch) wide bytes — never the
+        # Incremental shard write: Arrow batches stream into the shard
+        # in byte-bounded row groups (ShardWriter buffers to
+        # CRAWLKIT_ROW_GROUP_BYTES then flushes one group), so the
+        # worker holds O(row-group target) wide bytes — never the
         # task's whole shard (O(task-share) would be gigabytes at the
         # design point).  Opened lazily: a task with no ok rows leaves
         # no file (same contract as the old one-shot write).

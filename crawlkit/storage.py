@@ -74,12 +74,16 @@ class ShardSink:
 
     def open_writer(self, shard_id: int, schema) -> "ShardWriter":
         """Incremental variant of :meth:`write`: same shard name and
-        overwrite-by-task-id protocol, but rows stream out one row
-        group per Arrow batch (``pyarrow.parquet.ParquetWriter``), so
-        a task holds O(batch) wide bytes instead of accumulating its
-        whole shard in memory — the difference between a bounded and
-        an O(task-share) worker footprint when one task's share is
-        gigabytes at the 10^10-URL design point."""
+        overwrite-by-task-id protocol, but rows stream out in
+        byte-bounded row groups (``pyarrow.parquet.ParquetWriter``):
+        Arrow batches accumulate in the writer until
+        ``CRAWLKIT_ROW_GROUP_BYTES`` (default 64 MiB) of uncompressed
+        bytes, then flush as ONE row group.  A task therefore holds
+        O(row-group target) wide bytes — never its whole shard, which
+        is gigabytes at the 10^10-URL design point — while the shard
+        keeps scan-efficient row groups instead of one tiny group per
+        1k-row Arrow batch (many small row groups inflate parquet
+        footer metadata and defeat row-group pruning at read time)."""
         import pyarrow.parquet as pq
 
         filesystem, root = _fs_and_root(self.path)
@@ -91,20 +95,50 @@ class ShardSink:
             stream, schema, compression="zstd"))
 
 
+ROW_GROUP_BYTES = int(
+    os.environ.get("CRAWLKIT_ROW_GROUP_BYTES", str(64 * 1024 * 1024))
+)
+
+
 class ShardWriter:
     """Open incremental shard: feed Arrow tables, then close (closes
     the parquet footer AND the store stream — a shard is only complete
     after close; a task that dies mid-write leaves a torn file that the
-    next attempt of the SAME task id overwrites by name)."""
+    next attempt of the SAME task id overwrites by name).
 
-    def __init__(self, stream, writer) -> None:
+    Batches buffer up to ``row_group_bytes`` of uncompressed Arrow
+    bytes before flushing as a single row group, bounding worker
+    memory at O(target + one batch) while keeping row groups large
+    enough that a 100 TB scan isn't dominated by per-group metadata
+    and per-group decompression ramp."""
+
+    def __init__(self, stream, writer,
+                 row_group_bytes: int | None = None) -> None:
         self._stream = stream
         self._writer = writer
+        self._target = (
+            ROW_GROUP_BYTES if row_group_bytes is None else row_group_bytes
+        )
+        self._buf: list = []
+        self._buf_nbytes = 0
 
     def write_table(self, table) -> None:
-        self._writer.write_table(table)
+        self._buf.append(table)
+        self._buf_nbytes += table.nbytes
+        if self._buf_nbytes >= self._target:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        import pyarrow as pa
+
+        self._writer.write_table(pa.concat_tables(self._buf))
+        self._buf = []
+        self._buf_nbytes = 0
 
     def close(self) -> None:
+        self._flush()
         self._writer.close()
         self._stream.close()
 

@@ -84,7 +84,8 @@ def test_task_retry_overwrites_own_shard(spark, tmp_warehouse):
 
 def test_incremental_writer_streams_row_groups(spark, tmp_warehouse):
     """ShardSink.open_writer: multiple Arrow batches land in ONE shard
-    (one row group each, O(batch) worker memory), same overwrite-by-
+    with byte-bounded row groups (small batches COALESCE into one
+    group; a sub-target buffer flushes at close), same overwrite-by-
     task-id retry protocol as the one-shot write, invisible until
     commit."""
     import pyarrow.parquet as pq
@@ -111,6 +112,18 @@ def test_incremental_writer_streams_row_groups(spark, tmp_warehouse):
         .select("url_canon").collect()
     )
     assert got == ["https://c.example/", "https://d.example/"]
+    # Two tiny batches sit far below the 64 MiB row-group target, so
+    # they coalesce into ONE row group (the scan-efficiency invariant).
+    [f] = list((wh.round_path("urlseen_exact", 1)).glob("*.parquet"))
+    assert pq.ParquetFile(f).metadata.num_row_groups == 1
+
+    # With the target forced below one batch, every batch flushes as
+    # its own row group (the bounded-memory invariant).
+    w3 = sink.open_writer(0, _shard([]).schema)
+    w3._target = 1
+    w3.write_table(_shard([(5, "https://e.example/")]))
+    w3.write_table(_shard([(6, "https://f.example/")]))
+    w3.close()
     [f] = list((wh.round_path("urlseen_exact", 1)).glob("*.parquet"))
     assert pq.ParquetFile(f).metadata.num_row_groups == 2
 
