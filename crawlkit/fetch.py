@@ -184,8 +184,13 @@ def fetch_extract_write(
         # worker holds O(row-group target) wide bytes — never the
         # task's whole shard (O(task-share) would be gigabytes at the
         # design point).  Opened lazily: a task with no ok rows leaves
-        # no file (same contract as the old one-shot write).
+        # no file; a task whose generator is closed EARLY (partial-
+        # consumption action) aborts the shard rather than finalizing
+        # a valid-looking footer over a truncated prefix — so a shard
+        # file exists iff its task ran to completion.
         writer = None
+        completed = False
+        arrow_schema = _results_arrow_schema()
         try:
             for pdf in _extract_partition(batches):
                 ok = pdf[pdf["status"] == "ok"]
@@ -213,19 +218,20 @@ def fetch_extract_write(
                         }
                     )
                 if wide:
-                    table = pa.Table.from_pylist(
-                        wide, schema=_results_arrow_schema()
-                    )
+                    table = pa.Table.from_pylist(wide, schema=arrow_schema)
                     if writer is None:
                         writer = sink.open_writer(
-                            TaskContext.get().partitionId(),
-                            _results_arrow_schema(),
+                            TaskContext.get().partitionId(), arrow_schema
                         )
                     writer.write_table(table)
                 yield pdf[narrow_cols]
+            completed = True
         finally:
             if writer is not None:
-                writer.close()
+                if completed:
+                    writer.close()
+                else:
+                    writer.abort()
 
     return _join_pages(selected, pages, n_selected).mapInPandas(
         run, NARROW_EXTRACTED_SCHEMA

@@ -199,7 +199,8 @@ _FAST_ATTRS_TAG = re.compile(
     r'([a-zA-Z][a-zA-Z0-9]*)'
     r'((?:\s+[a-zA-Z_][-a-zA-Z0-9_:.]*(?:="[^"&]*")?)+)\s*(/?)>')
 _FAST_ATTR = re.compile(r'([a-zA-Z_][-a-zA-Z0-9_:.]*)(?:="([^"&]*)")?')
-_SIMPLE_END = re.compile(r'([a-zA-Z][a-zA-Z0-9]*)>')
+# end tags share the start-tag fast-path grammar
+_SIMPLE_END = _SIMPLE_TAG
 _CDATA_CLOSE = {
     "script": re.compile(r'</\s*script\s*>', re.IGNORECASE),
     "style": re.compile(r'</\s*style\s*>', re.IGNORECASE),

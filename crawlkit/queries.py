@@ -873,7 +873,14 @@ def streaming_windowed_rollup(spark, sf_dir):
         output_mode="complete",
     )
     # read back from the epoch layout (the same files a deployment
-    # reads); the tmp dir stays alive behind the returned lazy frame
+    # reads); the tmp dir must stay alive behind the returned lazy
+    # frame, so defer cleanup to process exit instead of leaking one
+    # staged-warehouse + checkpoint tree per invocation (bench.py runs
+    # this query every suite)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     return streaming.read_epochs(spark, sink_root, latest_only=True)
 
 
@@ -898,9 +905,14 @@ def crawl_round_smoke(spark, sf_dir):
     from .rounds import CrawlConfig, run_crawl
     from .synth import SynthConfig, robots_df, seeds_df, synth_pages
 
+    import atexit
+    import shutil
+
     scfg = SynthConfig(n_pages=80, n_hosts=5, n_seeds=5, fanout=3)
     pages = synth_pages(spark, scfg)
     cfg = CrawlConfig(warehouse=tempfile.mkdtemp(prefix="crawlkit-smoke-"))
+    # the returned frame reads lazily from this warehouse; clean at exit
+    atexit.register(shutil.rmtree, cfg.warehouse, ignore_errors=True)
     seeds, robots = seeds_df(spark, scfg), robots_df(spark, scfg)
     run_crawl(spark, cfg, pages, seeds, robots, max_rounds=1)
     # mid-crawl resume: a fresh driver picks up from the committed

@@ -152,8 +152,8 @@ def normalize_octets(s: str) -> str:
       rule and path compare in one alphabet;
     * malformed ``%`` (no two hex digits) → literal.
 
-    The result is pure ASCII, so ``len()`` of a normalized RULE equals
-    its octet count — the §2.2.2 'most octets' precedence metric."""
+    The result is pure ASCII.  Used for MATCHING only; rule precedence
+    counts the raw rule's UTF-8 octets (see :func:`_matcher`)."""
     data = s.encode("utf-8")
     out: list[str] = []
     i, n = 0, len(data)
@@ -207,15 +207,22 @@ def _matcher(disallow: tuple[str, ...], allow: tuple[str, ...]):
     sort all rules by (rule octets DESC, Allow before Disallow) — the
     first rule that matches decides; no match → allowed.  This is the
     standard equivalent formulation of RFC 9309's 'most specific match
-    (most octets) wins, Allow wins ties'.  Rules are normalized
-    (percent-encoding comparison form) before compiling; the octet
-    count is taken from the normalized form, whose ASCII length IS its
-    octet length."""
+    (most octets) wins, Allow wins ties'.
+
+    MATCHING uses the §2.2.2 percent-encoding comparison form
+    (:func:`normalize_octets`); PRECEDENCE counts the octets of the
+    rule AS WRITTEN (its raw UTF-8 byte count) — the metric the
+    reference robots.cc implementation uses.  The two differ when a
+    rule spells unreserved octets as escapes (``/a%41`` is 6 raw
+    octets but normalizes to the 3-char ``/aA``): counting the
+    normalized form would let a shorter literal rule outrank it."""
     norm_a = [normalize_octets(r) for r in allow]
     norm_d = [normalize_octets(r) for r in disallow]
     rules = sorted(
-        [(len(r), 1, rule_regex(r)) for r in norm_a]
-        + [(len(r), 0, rule_regex(r)) for r in norm_d],
+        [(len(raw.encode("utf-8")), 1, rule_regex(r))
+         for raw, r in zip(allow, norm_a)]
+        + [(len(raw.encode("utf-8")), 0, rule_regex(r))
+           for raw, r in zip(disallow, norm_d)],
         key=lambda t: (-t[0], -t[1]),
     )
 

@@ -244,6 +244,15 @@ def run_round(
     queued = frontier.where(
         (F.col("round") == round_no) & (F.col("status") == "queued")
     )
+    if wh.has_pre_ts_rounds():
+        # Legacy warehouse: rounds committed by engines that predate
+        # write-time dedupe (detected by their missing manifest ts)
+        # may carry duplicate (round, url_hash) delta rows — e.g. a
+        # fetch_failed retry that was also rediscovered as an
+        # out-link.  Re-apply the merge once here so a resume never
+        # double-fetches; warehouses written entirely by this engine
+        # skip the shuffle.
+        queued = _dedupe_frontier(queued, round_no)
     robots = wh.read(spark, "hostbudget", schema.HOSTBUDGET_SCHEMA)
     bloom_state = latest_blooms(
         wh.read(spark, "urlseen_bloom", schema.URLSEEN_BLOOM_SCHEMA)

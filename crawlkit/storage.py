@@ -88,11 +88,12 @@ class ShardSink:
 
         filesystem, root = _fs_and_root(self.path)
         filesystem.create_dir(root, recursive=True)
-        stream = filesystem.open_output_stream(
-            f"{root}/part-{shard_id:05d}.parquet"
+        path = f"{root}/part-{shard_id:05d}.parquet"
+        stream = filesystem.open_output_stream(path)
+        return ShardWriter(
+            stream, pq.ParquetWriter(stream, schema, compression="zstd"),
+            filesystem=filesystem, fs_path=path,
         )
-        return ShardWriter(stream, pq.ParquetWriter(
-            stream, schema, compression="zstd"))
 
 
 ROW_GROUP_BYTES = int(
@@ -113,9 +114,12 @@ class ShardWriter:
     and per-group decompression ramp."""
 
     def __init__(self, stream, writer,
-                 row_group_bytes: int | None = None) -> None:
+                 row_group_bytes: int | None = None,
+                 filesystem=None, fs_path: str | None = None) -> None:
         self._stream = stream
         self._writer = writer
+        self._fs = filesystem
+        self._fs_path = fs_path
         self._target = (
             ROW_GROUP_BYTES if row_group_bytes is None else row_group_bytes
         )
@@ -141,6 +145,25 @@ class ShardWriter:
         self._flush()
         self._writer.close()
         self._stream.close()
+
+    def abort(self) -> None:
+        """Abandon the shard: close the stream WITHOUT finalizing a
+        parquet footer and delete the partial file.  Used when the
+        producing task stops early (e.g. its mapInPandas generator is
+        closed by a partial-consumption action): closing normally
+        would leave a VALID-looking footer over a truncated prefix —
+        a complete-looking shard the commit protocol would happily
+        publish.  After abort, 'a shard file exists iff its task ran
+        to completion' holds again."""
+        self._buf = []
+        try:
+            self._stream.close()
+        finally:
+            if self._fs is not None and self._fs_path is not None:
+                try:
+                    self._fs.delete_file(self._fs_path)
+                except FileNotFoundError:
+                    pass
 
 
 class Warehouse:
@@ -179,6 +202,17 @@ class Warehouse:
 
     def last_committed_round(self) -> int | None:
         return self._read_manifest()["last_round"]
+
+    def has_pre_ts_rounds(self) -> bool:
+        """True when any committed round lacks a logical timestamp —
+        i.e. the warehouse was (partly) written by an engine version
+        that predates write-time frontier dedupe, so frontier deltas
+        from those rounds may hold duplicate (round, url_hash) rows
+        and a resume must re-apply the merge on read."""
+        return any(
+            "ts" not in info
+            for info in self._read_manifest()["rounds"].values()
+        )
 
     def committed_rounds(self, table: str) -> list[int]:
         manifest = self._read_manifest()

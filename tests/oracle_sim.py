@@ -63,8 +63,8 @@ def simulate_crawl(
         # robots + quota (RFC 9309 longest-match, independent
         # reimplementation of the engine's matcher: evaluate EVERY
         # rule, keep the longest match per polarity, Allow wins ties;
-        # precedence counts RULE OCTETS — len of the normalized ASCII
-        # comparison form, which equals the rule's UTF-8 byte count)
+        # matching uses the normalized comparison form, precedence
+        # counts the RAW rule's UTF-8 octets — robots.cc semantics)
         def sim_normalize(s: str) -> str:
             # regex-substitution formulation (engine uses a byte loop):
             # first escape raw non-ASCII to %XX, then fold %XX escapes —
@@ -106,12 +106,20 @@ def simulate_crawl(
                 )
                 return _re.match(rx + ("$" if anchored else ""), npath) is not None
 
-            norm_d = [sim_normalize(r) for r in rules["disallow_rules"]]
-            norm_a = [sim_normalize(r) for r in rules["allow_rules"]]
-            best_d = max((len(r) for r in norm_d if matches(r)), default=-1)
+            best_d = max(
+                (len(raw.encode("utf-8"))
+                 for raw in rules["disallow_rules"]
+                 if matches(sim_normalize(raw))),
+                default=-1,
+            )
             if best_d < 0:
                 return True
-            best_a = max((len(r) for r in norm_a if matches(r)), default=-1)
+            best_a = max(
+                (len(raw.encode("utf-8"))
+                 for raw in rules["allow_rules"]
+                 if matches(sim_normalize(raw))),
+                default=-1,
+            )
             return best_a >= best_d
 
         per_host: dict[str, list[tuple[int, str]]] = {}

@@ -287,13 +287,35 @@ def test_rule_precedence_counts_octets_not_codepoints():
     real byte count."""
     from crawlkit.robots import path_allowed
 
-    # Precedence counts octets of the ENCODED comparison form, so both
-    # spellings of the same rule rank identically: Disallow '/p/é'
-    # (normalizes to '/p/%C3%A9', 9 octets) vs Allow '/p/*' (4 octets)
-    # → Disallow wins → blocked.  A raw-codepoint metric would call
-    # the raw pair equal (4 == 4) and let Allow win the tie.
+    # Precedence counts the RAW rule's UTF-8 octets (robots.cc
+    # semantics): Disallow '/p/é' is 5 octets vs Allow '/p/*' at 4 →
+    # Disallow wins → blocked.  A raw-codepoint metric would call the
+    # pair equal (4 == 4) and let Allow win the tie.
     assert not path_allowed("/p/é-page", ["/p/é"], ["/p/*"])
-    # same pair in encoded-rule form must behave identically
+    # encoded-rule spelling matches the same paths and, written out,
+    # carries MORE raw octets ('/p/%C3%A9' = 10) — still blocked
     assert not path_allowed("/p/é-page", ["/p/%C3%A9"], ["/p/*"])
     # and the tie case: equal octets, Allow wins
     assert path_allowed("/p/q-page", ["/p/q"], ["/p/*", "/p/q"])
+
+
+def test_rule_precedence_counts_raw_octets_not_normalized():
+    """Precedence must rank by the rule AS WRITTEN, not its normalized
+    comparison form — a rule spelling unreserved octets as %XX escapes
+    loses 2 octets per escape under normalized counting, flipping
+    verdicts vs the robots.cc reference behavior."""
+    from crawlkit.robots import path_allowed
+
+    # Disallow '/a%41%41' (8 raw octets, normalizes to '/aAA') vs
+    # Allow '/aAAB' (5 raw octets): both match '/aAAB'; raw counting
+    # picks the Disallow.  Normalized counting ('/aAA' = 4) would
+    # wrongly let the Allow win.
+    assert not path_allowed("/aAAB", ["/a%41%41"], ["/aAAB"])
+    # symmetric direction: the escaped spelling on the Allow side
+    # ('/b%43%43%44' = 11 raw octets vs Disallow '/bCCD' = 5)
+    assert path_allowed("/bCCD", ["/bCCD"], ["/b%43%43%44"])
+    # raw non-ASCII counts its true byte length (é = 2 octets, so
+    # Disallow '/café' = 6), not the 6 chars of its %C3%A9 comparison
+    # form (which would score 10): it still beats Allow '/caf*' (5)
+    # on real bytes alone.
+    assert not path_allowed("/café-menu", ["/café"], ["/caf*"])

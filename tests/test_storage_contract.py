@@ -128,6 +128,25 @@ def test_incremental_writer_streams_row_groups(spark, tmp_warehouse):
     assert pq.ParquetFile(f).metadata.num_row_groups == 2
 
 
+def test_aborted_writer_leaves_no_shard(tmp_warehouse):
+    """A task whose generator stops early must NOT leave a valid-
+    looking truncated shard: abort() deletes the partial file, so 'a
+    shard exists iff its task completed' holds for the incremental
+    writer exactly as it did for the one-shot write."""
+    wh = Warehouse(tmp_warehouse)
+    sink = wh.staging_sink("urlseen_exact", 1)
+    w = sink.open_writer(0, _shard([]).schema)
+    w.write_table(_shard([(1, "https://torn.example/")]))
+    w.abort()
+    assert list(wh.round_path("urlseen_exact", 1).glob("*.parquet")) == []
+    # abort after an on-target flush also removes the file
+    w2 = sink.open_writer(1, _shard([]).schema)
+    w2._target = 1
+    w2.write_table(_shard([(2, "https://torn.example/b")]))
+    w2.abort()
+    assert list(wh.round_path("urlseen_exact", 1).glob("*.parquet")) == []
+
+
 def test_fetch_holds_no_filesystem_assumptions():
     """The fetch stage must route every byte through the warehouse
     protocol — no raw path handling that would silently assume POSIX
