@@ -14,13 +14,13 @@ RFC 9309 semantics implemented:
   groups at the winning specificity MERGE their rules.
 * ``Allow`` / ``Disallow`` path rules per §2.2.2 with full ``*``
   wildcards (any position, any count) and ``$`` end-anchors;
-  precedence is MOST-OCTETS-of-rule (rule length counted in UTF-8
-  OCTETS, not code points — a multi-byte rule outranks a shorter-in-
-  characters ASCII rule iff it has more bytes), with Allow winning
-  ties — verified against the RFC's ``/fish*`` / ``/*.php$`` example
-  vectors in ``tests/test_robots.py``.  A bare ``Disallow:`` (empty)
-  adds no rule.  Matching runs against path+query (everything after
-  the authority).
+  precedence is MOST-OCTETS-of-rule counted the way robots.cc counts
+  it (:func:`precedence_octets`: raw non-ASCII bytes as their 3-char
+  percent escapes, existing ``%XX`` escapes verbatim), with Allow
+  winning ties — verified against the RFC's ``/fish*`` / ``/*.php$``
+  example vectors in ``tests/test_robots.py``.  A bare ``Disallow:``
+  (empty) adds no rule.  Matching runs against path+query (everything
+  after the authority).
 * Percent-encoding normalization per §2.2.2 / RFC 3986: before
   comparison, percent-encoded unreserved US-ASCII octets are decoded
   (``%41`` ≡ ``A``) on BOTH the rule and the path; percent-encoded
@@ -201,6 +201,19 @@ def rule_regex(rule: str) -> re.Pattern:
     return re.compile("^" + rx + ("$" if anchored else ""))
 
 
+def precedence_octets(rule: str) -> int:
+    """robots.cc's rule-length metric for §2.2.2 precedence: the length
+    of the rule with raw non-ASCII octets percent-escaped but EXISTING
+    ``%XX`` escapes kept verbatim — i.e. each raw UTF-8 byte >= 0x80
+    counts 3 (``é`` → ``%C3%A9`` = 6), every other byte (including the
+    three bytes of an already-written escape) counts 1.  Counting the
+    raw byte length instead would let ``Allow: /caf*-men`` (9) outrank
+    ``Disallow: /café`` (raw 6, robots.cc 10) on path ``/café-menu`` —
+    a politeness-violating fetch vs the reference matcher."""
+    data = rule.encode("utf-8")
+    return len(data) + 2 * sum(1 for b in data if b >= 0x80)
+
+
 @lru_cache(maxsize=2048)
 def _matcher(disallow: tuple[str, ...], allow: tuple[str, ...]):
     """Precedence-ordered first-match evaluator for one host's rules:
@@ -210,18 +223,19 @@ def _matcher(disallow: tuple[str, ...], allow: tuple[str, ...]):
     (most octets) wins, Allow wins ties'.
 
     MATCHING uses the §2.2.2 percent-encoding comparison form
-    (:func:`normalize_octets`); PRECEDENCE counts the octets of the
-    rule AS WRITTEN (its raw UTF-8 byte count) — the metric the
-    reference robots.cc implementation uses.  The two differ when a
-    rule spells unreserved octets as escapes (``/a%41`` is 6 raw
-    octets but normalizes to the 3-char ``/aA``): counting the
-    normalized form would let a shorter literal rule outrank it."""
+    (:func:`normalize_octets`); PRECEDENCE uses robots.cc's metric
+    (:func:`precedence_octets`): the rule as written with raw
+    non-ASCII bytes escape-expanded, existing escapes verbatim.  The
+    two forms differ when a rule spells unreserved octets as escapes
+    (``/a%41`` counts 6, but normalizes to the 3-char ``/aA`` for
+    matching): counting the normalized form would let a shorter
+    literal rule outrank it."""
     norm_a = [normalize_octets(r) for r in allow]
     norm_d = [normalize_octets(r) for r in disallow]
     rules = sorted(
-        [(len(raw.encode("utf-8")), 1, rule_regex(r))
+        [(precedence_octets(raw), 1, rule_regex(r))
          for raw, r in zip(allow, norm_a)]
-        + [(len(raw.encode("utf-8")), 0, rule_regex(r))
+        + [(precedence_octets(raw), 0, rule_regex(r))
            for raw, r in zip(disallow, norm_d)],
         key=lambda t: (-t[0], -t[1]),
     )

@@ -157,6 +157,14 @@ class ShardWriter:
         to completion' holds again."""
         self._buf = []
         try:
+            # close the ParquetWriter first (the file is deleted below
+            # anyway): a dangling writer's __del__ would later try to
+            # append a footer to the closed stream and spray
+            # 'Exception ignored in' noise on every aborted task
+            try:
+                self._writer.close()
+            except Exception:
+                pass
             self._stream.close()
         finally:
             if self._fs is not None and self._fs_path is not None:

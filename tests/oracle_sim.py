@@ -64,7 +64,8 @@ def simulate_crawl(
         # reimplementation of the engine's matcher: evaluate EVERY
         # rule, keep the longest match per polarity, Allow wins ties;
         # matching uses the normalized comparison form, precedence
-        # counts the RAW rule's UTF-8 octets — robots.cc semantics)
+        # counts robots.cc's metric — the rule with raw non-ASCII
+        # escape-expanded, existing %XX escapes verbatim)
         def sim_normalize(s: str) -> str:
             # regex-substitution formulation (engine uses a byte loop):
             # first escape raw non-ASCII to %XX, then fold %XX escapes —
@@ -106,8 +107,20 @@ def simulate_crawl(
                 )
                 return _re.match(rx + ("$" if anchored else ""), npath) is not None
 
+            def sim_octets(raw: str) -> int:
+                # robots.cc length: percent-escape raw non-ASCII
+                # (expressed here by escaping then measuring — the
+                # engine counts bytes arithmetically instead)
+                return len(
+                    "".join(
+                        ch if ord(ch) < 0x80 else
+                        "".join("%%%02X" % b for b in ch.encode("utf-8"))
+                        for ch in raw
+                    )
+                )
+
             best_d = max(
-                (len(raw.encode("utf-8"))
+                (sim_octets(raw)
                  for raw in rules["disallow_rules"]
                  if matches(sim_normalize(raw))),
                 default=-1,
@@ -115,7 +128,7 @@ def simulate_crawl(
             if best_d < 0:
                 return True
             best_a = max(
-                (len(raw.encode("utf-8"))
+                (sim_octets(raw)
                  for raw in rules["allow_rules"]
                  if matches(sim_normalize(raw))),
                 default=-1,

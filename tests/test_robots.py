@@ -287,10 +287,11 @@ def test_rule_precedence_counts_octets_not_codepoints():
     real byte count."""
     from crawlkit.robots import path_allowed
 
-    # Precedence counts the RAW rule's UTF-8 octets (robots.cc
-    # semantics): Disallow '/p/é' is 5 octets vs Allow '/p/*' at 4 →
-    # Disallow wins → blocked.  A raw-codepoint metric would call the
-    # pair equal (4 == 4) and let Allow win the tie.
+    # Precedence counts the rule's octets with raw non-ASCII escape-
+    # expanded (robots.cc semantics): Disallow '/p/é' scores 6 vs
+    # Allow '/p/*' at 4 → Disallow wins → blocked.  A raw-codepoint
+    # metric would call the pair equal (4 == 4) and let Allow win the
+    # tie.
     assert not path_allowed("/p/é-page", ["/p/é"], ["/p/*"])
     # encoded-rule spelling matches the same paths and, written out,
     # carries MORE raw octets ('/p/%C3%A9' = 10) — still blocked
@@ -314,8 +315,29 @@ def test_rule_precedence_counts_raw_octets_not_normalized():
     # symmetric direction: the escaped spelling on the Allow side
     # ('/b%43%43%44' = 11 raw octets vs Disallow '/bCCD' = 5)
     assert path_allowed("/bCCD", ["/bCCD"], ["/b%43%43%44"])
-    # raw non-ASCII counts its true byte length (é = 2 octets, so
-    # Disallow '/café' = 6), not the 6 chars of its %C3%A9 comparison
-    # form (which would score 10): it still beats Allow '/caf*' (5)
-    # on real bytes alone.
+    # raw non-ASCII scores its ESCAPE-EXPANDED length (é → %C3%A9, so
+    # Disallow '/café' = 10), beating Allow '/caf*' (5).
     assert not path_allowed("/café-menu", ["/café"], ["/caf*"])
+
+
+def test_rule_precedence_escape_expands_raw_non_ascii():
+    """ADVICE r4: robots.cc ranks by the PERCENT-ESCAPED rule length
+    (each raw non-ASCII byte counts 3; existing %XX escapes verbatim),
+    not the raw UTF-8 byte count.  The two metrics diverge exactly
+    when a raw non-ASCII rule competes against a mid-length ASCII one:
+    counting raw bytes under-weights the non-ASCII rule and flips the
+    verdict to a politeness-violating fetch."""
+    from crawlkit.robots import path_allowed, precedence_octets
+
+    # the ADVICE counterexample: Disallow '/café' (raw 6, robots.cc
+    # 10) vs Allow '/caf*-men' (9) on path '/café-menu' — robots.cc
+    # disallows; the old raw-byte metric (6 < 9) allowed.
+    assert precedence_octets("/café") == 10
+    assert precedence_octets("/caf*-men") == 9
+    assert not path_allowed("/café-menu", ["/café"], ["/caf*-men"])
+    # spelled pre-escaped, the same rule scores the same (escapes are
+    # kept verbatim, 3 chars per byte either way)
+    assert precedence_octets("/caf%C3%A9") == 10
+    assert not path_allowed("/café-menu", ["/caf%C3%A9"], ["/caf*-men"])
+    # a LONGER ASCII allow still outranks it (11 > 10)
+    assert path_allowed("/café-menu", ["/café"], ["/caf*-menu*"])
