@@ -38,6 +38,7 @@ from .sparkfns import with_url_identity
 from .storage import Warehouse
 from .synth import EPOCH
 from .urlseen import (
+    derive_n_partitions,
     effective_exact,
     evicted_seen_partitions,
     latest_blooms,
@@ -50,7 +51,12 @@ from .urlseen import (
 @dataclass
 class CrawlConfig:
     warehouse: str
-    # power of two; also the parallelism of bloom probe/rebuild stages
+    # power of two; also the parallelism of bloom probe/rebuild stages.
+    # Sized so one partition's serialized filter stays within
+    # urlseen.PARTITION_BYTE_BUDGET — set ``expected_urls`` to derive
+    # it instead of guessing (10^10 urls → 512 bloom / 2048 cuckoo
+    # partitions at the default 64 MiB budget).  Pinned in the
+    # warehouse manifest at bootstrap; resumes adopt the pinned value.
     n_bloom_partitions: int = 64
     max_depth: int = 4
     round_duration_ms: int = 60_000
@@ -78,7 +84,19 @@ class CrawlConfig:
     # added work per round.  Only content-bearing (status=ok) urls
     # expire; terminal failures (not_found/too_large) stay seen.
     expire_days: int | None = None
+    # Expected total URL count for this crawl (the frontier design
+    # point, e.g. 10**10).  When set, n_bloom_partitions is DERIVED
+    # from it (urlseen.derive_n_partitions) so no seen-filter partition
+    # can outgrow the per-partition byte budget — the rebuild kernel
+    # fails loudly if one ever would.
+    expected_urls: int | None = None
     now: datetime = field(default=EPOCH + timedelta(days=1))
+
+    def __post_init__(self) -> None:
+        if self.expected_urls is not None:
+            self.n_bloom_partitions = derive_n_partitions(
+                self.expected_urls, kind=self.seen_filter
+            )
 
 
 FRONTIER_COLS = [f.name for f in schema.FRONTIER_SCHEMA.fields]
@@ -157,9 +175,15 @@ def bootstrap(
     # manifest row counts from the staged parquet FOOTERS — a
     # .count() here would re-run the whole canonicalize+dedupe plan
     # (the seed UDF pass twice per crawl), pure fixed overhead
+    # Pin the seen-filter partition count with the bootstrap commit:
+    # partition ids are pmod(url_hash, P), so every later round (and
+    # every resume) MUST probe/rebuild with the same P or the stored
+    # filter state silently mismatches.  run_crawl adopts the pinned
+    # value on resume.
     wh.commit_round(0, {"frontier": wh.row_count("frontier", 0),
                         "hostbudget": wh.row_count("hostbudget", 0)},
-                    ts=cfg.now.isoformat())
+                    ts=cfg.now.isoformat(),
+                    extra={"n_bloom_partitions": cfg.n_bloom_partitions})
     return wh
 
 
@@ -177,21 +201,15 @@ def _latest_results(results: DataFrame) -> DataFrame:
     )
 
 
-def _compute_stale(
-    results_old: DataFrame,
-    exact: DataFrame,
-    frontier: DataFrame,
-    expire_cut,
-    round_no: int,
-) -> DataFrame:
-    """Expiry candidates: urls whose newest stored doc (within the
-    manifest-pruned old shards) is stale AND whose seen-set entry is
-    that same fetch — see run_round's expiry comment for why the
-    pruned view stays correct.  The exact table (the 10^10-row side)
-    is narrowed to candidate hashes BEFORE its max-round aggregation:
-    the candidate set is bounded by the old shards' url count, so AQE
-    can broadcast it and the exact side never shuffles in full."""
-    latest_meta = (
+def _expiry_candidates(results_old: DataFrame, expire_cut) -> DataFrame:
+    """The expensive half of expiry: newest stored doc per url_hash
+    across the manifest-pruned old shards, filtered to the stale
+    cutoff.  Depends ONLY on (old shard set, cutoff) — both constant
+    until a results shard newly ages past the cutoff — so run_round
+    caches the output in the ``expiry_cand`` table keyed by that
+    signature and re-reads it instead of re-scanning the old shards
+    every round."""
+    return (
         results_old.select(
             "url_hash", "url", "url_canon", "host", "depth",
             "fetched_ts", "round", "id",
@@ -205,12 +223,30 @@ def _compute_stale(
             ).alias("s")
         )
         .select(
-            "url_hash", "s.url", "s.url_canon", "s.host", "s.depth",
+            "url_hash", "s.url", "s.url_canon", "s.host",
+            F.col("s.depth").cast("int").alias("depth"),
             F.col("s.fetched_ts").alias("res_ts"),
-            F.col("s.round").alias("res_round"),
+            F.col("s.round").cast("int").alias("res_round"),
         )
+        .where(F.col("res_ts") <= F.lit(expire_cut))
     )
-    cand = latest_meta.where(F.col("res_ts") <= F.lit(expire_cut))
+
+
+def _filter_stale(
+    cand: DataFrame,
+    exact: DataFrame,
+    frontier: DataFrame,
+    round_no: int,
+) -> DataFrame:
+    """The live half of expiry, re-evaluated every round against
+    current state: keep candidates whose seen-set entry is still that
+    same stale fetch (a url refetched since has a newer exact row —
+    ``seen_round == res_round`` rules it out; an EVICTED url has no
+    live exact row and drops at the inner join) and that are not
+    already queued.  The exact table (the 10^10-row side) is narrowed
+    to candidate hashes BEFORE its max-round aggregation: the
+    candidate set is bounded by the old shards' url count, so AQE can
+    broadcast it and the exact side never shuffles in full."""
     seen_latest = (
         exact.join(cand.select("url_hash"), "url_hash")
         .groupBy("url_hash")
@@ -236,7 +272,20 @@ def run_round(
     """Execute one crawl round; returns stage metrics, or None when the
     frontier has no queued rows for this round (crawl finished)."""
     tick = _timer()
-    frontier = wh.read(spark, "frontier", schema.FRONTIER_SCHEMA)
+    # Manifest-pruned frontier read: the delta committed at round k
+    # holds ONLY rows queued for round k+1 (bootstrap's round-0 delta
+    # feeds round 1; run_round's growth delta feeds round+1), so the
+    # rows this round can see — queued for round_no or later — all
+    # live in deltas committed at rounds >= round_no-1.  In steady
+    # state that is exactly ONE delta; a long crawl therefore pays
+    # O(1) file listings/footers per round, not O(crawl history).
+    # Legacy pre-ts warehouses predate this write invariant, so they
+    # conservatively read everything.
+    frontier_rounds = wh.committed_rounds("frontier")
+    if not wh.has_pre_ts_rounds():
+        frontier_rounds = [r for r in frontier_rounds if r >= round_no - 1]
+    frontier = wh.read(spark, "frontier", schema.FRONTIER_SCHEMA,
+                       rounds=frontier_rounds)
     # Frontier deltas are deduped per (round, url_hash) AT WRITE TIME
     # (bootstrap and the delta write below share _dedupe_frontier), so
     # the round's queued set is a straight filter — no per-read (and
@@ -288,6 +337,7 @@ def run_round(
     # requeue-loop.  Urls already queued this round or later are
     # excluded (they are about to be fetched anyway).
     stale = None
+    expiry_sig = None  # set when this round ran (and must commit) a fresh scan
     if cfg.expire_days is not None and have_results and have_seen:
         expire_cut = cfg.now - timedelta(days=cfg.expire_days)
         # Manifest pruning (100 TB shape): a results shard's logical ts
@@ -295,14 +345,39 @@ def run_round(
         # shards with ts <= cutoff can contain expirable rows — the
         # scan is O(old shards), not O(results).  Correct even though
         # newer shards are skipped: a url refetched recently has a
-        # newer exact row, so ``seen_round == res_round`` below already
-        # rules it out without ever reading the newer result.
+        # newer exact row, so ``seen_round == res_round`` in
+        # _filter_stale already rules it out without ever reading the
+        # newer result.
         old_rounds = wh.rounds_at_or_before("results", expire_cut.isoformat())
         if old_rounds:
-            stale = _compute_stale(
-                wh.read(spark, "results", schema.RESULTS_SCHEMA,
-                        rounds=old_rounds),
-                exact, frontier, expire_cut, round_no,
+            # Scan-result cache: the candidate aggregation depends only
+            # on (old shard set, cutoff).  While that signature is
+            # unchanged — i.e. no shard newly aged past the cutoff —
+            # re-read the cached candidates instead of re-running the
+            # max-by over every old shard each round.  The LIVE checks
+            # (seen-set row still the stale fetch, not already queued)
+            # re-evaluate every round either way, so retry exhaustion
+            # or dequeues between scans are still picked up.
+            sig = {"rounds": old_rounds, "cutoff": expire_cut.isoformat()}
+            cached = wh.latest_extra("expiry_scan")
+            if cached is not None and cached[1] == sig:
+                cand = wh.read(spark, "expiry_cand",
+                               schema.EXPIRY_CAND_SCHEMA, rounds=[cached[0]])
+            else:
+                scan = _expiry_candidates(
+                    wh.read(spark, "results", schema.RESULTS_SCHEMA,
+                            rounds=old_rounds),
+                    expire_cut,
+                )
+                # stage the scan, then aim downstream consumers at the
+                # staged parquet — the aggregation runs exactly once
+                wh.write(scan, "expiry_cand", round_no)
+                cand = wh.read(spark, "expiry_cand",
+                               schema.EXPIRY_CAND_SCHEMA, rounds=[round_no])
+                expiry_sig = sig
+            metrics["expiry_scanned"] = int(expiry_sig is not None)
+            stale = _filter_stale(
+                cand, exact, frontier, round_no,
             ).persist()  # feeds eviction delta, tombstones, requeue
             metrics["expired"] = stale.count()
             if metrics["expired"] == 0:
@@ -325,6 +400,25 @@ def run_round(
                 cfg.n_bloom_partitions, round_no, kind="cuckoo",
                 strict=False,  # mixed payloads after a kind switch: skip
             ).persist()
+            # Lenient mode silently keeps a bloom partition's bits set
+            # (exact-confirm absorbs the false positives) — surface HOW
+            # MANY partitions did that, so an operator watching filter
+            # occupancy can tell eviction is partially inert after a
+            # kind switch.  skipped = touched partitions that HAVE a
+            # filter row minus partitions that emitted a delta (cuckoo
+            # in-place deletes always emit one).
+            touched_with_filter = (
+                with_partition_id(
+                    stale.select("url_hash"), cfg.n_bloom_partitions
+                )
+                .select("partition_id")
+                .distinct()
+                .join(bloom_state.select("partition_id"),
+                      "partition_id", "left_semi")
+            )
+            metrics["expired_skipped_partitions"] = (
+                touched_with_filter.count() - evict_delta.count()
+            )
             # downstream probe + insert-absorb run on the evicted state
             bloom_state = latest_blooms(bloom_state.unionByName(evict_delta))
 
@@ -540,7 +634,15 @@ def run_round(
     }
     if stale is not None:
         commit_tables["urlseen_evicted"] = metrics["expired"]
-    wh.commit_round(round_no, commit_tables, ts=cfg.now.isoformat())
+    extra = None
+    if expiry_sig is not None:
+        # Publish the expiry candidate scan WITH its validity signature
+        # (atomically, same manifest write): later rounds skip the
+        # old-shard re-scan while the signature still matches.
+        commit_tables["expiry_cand"] = wh.row_count("expiry_cand", round_no)
+        extra = {"expiry_scan": expiry_sig}
+    wh.commit_round(round_no, commit_tables, ts=cfg.now.isoformat(),
+                    extra=extra)
     for df in (queued, new_cand, ranked, extracted, new_seen):
         df.unpersist()
     if stale is not None:
@@ -567,6 +669,14 @@ def run_crawl(
             raise ValueError("fresh crawl needs seeds and robots")
         wh = bootstrap(spark, cfg, seeds, robots)
         last = 0
+    else:
+        # Resume: the stored filter layout is authoritative — adopt the
+        # partition count pinned at bootstrap (a config drift here would
+        # silently probe the wrong partitions).  Legacy warehouses
+        # without a pinned value keep the caller's config.
+        pinned = wh.latest_extra("n_bloom_partitions")
+        if pinned is not None:
+            cfg.n_bloom_partitions = int(pinned[1])
     if cfg.pages_buckets:
         # One-time (idempotent, resume-safe) bucket-clustered ingest;
         # every round's fetch join then co-partitions with the scan.

@@ -90,6 +90,23 @@ URLSEEN_EVICTED_SCHEMA = T.StructType(
     ]
 )
 
+# Cached recrawl-expiry candidate scan (rounds._expiry_candidates):
+# the newest stored doc per url_hash within the manifest-pruned old
+# results shards.  Valid for as long as the (pruned round set, cutoff)
+# signature recorded with it in the manifest matches — see
+# Warehouse.latest_extra("expiry_scan").
+EXPIRY_CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("url_canon", T.StringType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+        T.StructField("res_ts", T.TimestampType(), True),
+        T.StructField("res_round", T.IntegerType(), True),
+    ]
+)
+
 HOSTBUDGET_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType(), False),

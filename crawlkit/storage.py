@@ -190,16 +190,22 @@ class Warehouse:
         return json.loads(self._manifest_path.read_text())
 
     def commit_round(self, round_no: int, tables: dict[str, int],
-                     ts: str | None = None) -> None:
+                     ts: str | None = None,
+                     extra: dict | None = None) -> None:
         """Atomically publish a round: record table row-counts (plus an
         optional logical timestamp — the crawl's ``cfg.now`` — used by
         recrawl expiry to manifest-prune which results shards can even
         CONTAIN expirable rows); readers never see data from
-        uncommitted rounds."""
+        uncommitted rounds.  ``extra`` carries engine metadata that
+        must commit atomically WITH the round (e.g. the pinned
+        seen-filter partition count at bootstrap, the expiry scan's
+        validity signature) — queried back via :meth:`latest_extra`."""
         manifest = self._read_manifest()
         entry: dict = {"tables": tables}
         if ts is not None:
             entry["ts"] = ts
+        if extra:
+            entry.update(extra)
         manifest["rounds"][str(round_no)] = entry
         last = manifest["last_round"]
         manifest["last_round"] = round_no if last is None else max(last, round_no)
@@ -221,6 +227,19 @@ class Warehouse:
             "ts" not in info
             for info in self._read_manifest()["rounds"].values()
         )
+
+    def latest_extra(self, key: str) -> tuple[int, object] | None:
+        """(round_no, value) from the NEWEST committed round whose
+        manifest entry carries ``key`` (written via ``commit_round``'s
+        ``extra``), or None.  Reading from the manifest keeps the
+        lookup a metadata operation — no Spark job, no data scan."""
+        manifest = self._read_manifest()
+        hits = [
+            (int(r), info[key])
+            for r, info in manifest["rounds"].items()
+            if key in info
+        ]
+        return max(hits, key=lambda rv: rv[0]) if hits else None
 
     def committed_rounds(self, table: str) -> list[int]:
         manifest = self._read_manifest()

@@ -27,17 +27,80 @@ O(evicted) stale-URL expiry vs the bloom's O(partition) rebuild.
 
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from .bloom import BloomPartition, optimal_bits, optimal_hashes
-from .cuckoo import DESIGN_LOAD, SLOTS_PER_BUCKET, CuckooPartition
+from .cuckoo import (
+    DESIGN_LOAD,
+    SLOTS_PER_BUCKET,
+    CuckooPartition,
+    buckets_for,
+)
 from .schema import URLSEEN_BLOOM_SCHEMA
 
 MIN_CAPACITY = 4096
 FILL_REBUILD_RATIO = 0.6
+
+# Hard ceiling on one partition's serialized filter payload.  A filter
+# row is ONE binary cell: at the 10^10-URL design point an undersized
+# partition count would silently grow cells into the hundreds of MB —
+# brushing Spark's 2 GB row/buffer hazard, and making every rebuild
+# ship ~10^8 exact rows.  Rebuilds that would exceed the budget FAIL
+# LOUDLY (pre-commit, so the crawl resumes cleanly after resizing)
+# instead of shipping the oversized cell; size the partition count up
+# front with :func:`derive_n_partitions`.
+PARTITION_BYTE_BUDGET = int(
+    os.environ.get("CRAWLKIT_SEEN_PARTITION_BYTES", str(64 * 1024 * 1024))
+)
+
+# Rebuilds size for 2x the partition's current items (amortized O(1)
+# inserts) — partition sizing must budget for that headroom.
+REBUILD_HEADROOM = 2
+
+
+def filter_payload_bytes(kind: str, n_items: int) -> int:
+    """Serialized payload size of one partition's filter holding
+    ``n_items`` (bloom: 12B header + optimal bit array; cuckoo: 16B
+    header + pow2-rounded uint16 slot table at the design load)."""
+    if kind == "cuckoo":
+        return 16 + buckets_for(n_items) * SLOTS_PER_BUCKET * 2
+    return 12 + optimal_bits(max(n_items, 1)) // 8
+
+
+def derive_n_partitions(
+    expected_urls: int,
+    byte_budget: int | None = None,
+    kind: str = "bloom",
+) -> int:
+    """Smallest power-of-two partition count keeping every partition's
+    filter payload within ``byte_budget`` at ``expected_urls`` total —
+    INCLUDING the 2x rebuild headroom, so the budget holds across the
+    whole growth schedule, not just at the nominal fill.
+
+    Sizing rule (documented in BASELINE.md): bloom ≈ 1.2 B/item at 1%
+    fpp, cuckoo ≈ 2.4-4.8 B/item (uint16 fingerprints at design load,
+    pow2 rounding) — at the 10^10-URL design point with the default
+    64 MiB budget this derives 512 partitions for bloom, 2048 for
+    cuckoo.  The count is pinned in the warehouse manifest at
+    bootstrap; resumes adopt the pinned value (the stored partition
+    layout is authoritative — see ``rounds.run_crawl``)."""
+    if expected_urls <= 0:
+        raise ValueError(f"expected_urls must be positive, got {expected_urls}")
+    budget = PARTITION_BYTE_BUDGET if byte_budget is None else byte_budget
+    p = 1
+    while p < (1 << 30):
+        per_part = -(-expected_urls // p) * REBUILD_HEADROOM
+        if filter_payload_bytes(kind, per_part) <= budget:
+            return p
+        p *= 2
+    raise ValueError(
+        f"no partition count keeps {expected_urls} urls under "
+        f"{budget} bytes/partition — raise the byte budget"
+    )
 
 
 def filter_from_bytes(payload: bytes) -> BloomPartition | CuckooPartition:
@@ -132,6 +195,7 @@ def updated_bloom_partitions(
     n_partitions: int,
     round_no: int,
     kind: str = "bloom",
+    byte_budget: int | None = None,
 ) -> DataFrame:
     """New filter rows for the partitions touched by ``new_hashes``.
 
@@ -144,7 +208,13 @@ def updated_bloom_partitions(
     constructs; absorbing partitions keep whatever kind they already
     are, so switching kinds is safe mid-crawl and converges as
     partitions fill.
+
+    A partition whose serialized payload would exceed ``byte_budget``
+    (default :data:`PARTITION_BYTE_BUDGET`) raises instead of shipping
+    the oversized BINARY cell — the failure is pre-commit, so the fix
+    is sizing (``derive_n_partitions``), not data surgery.
     """
+    budget = PARTITION_BYTE_BUDGET if byte_budget is None else byte_budget
     _check_pow2(n_partitions)
     new_tagged = with_partition_id(
         new_hashes.select("url_hash").withColumn("is_new", F.lit(True)),
@@ -186,10 +256,22 @@ def updated_bloom_partitions(
                 bp.add(new_vals)
             except OverflowError:  # cuckoo table full before its budget
                 bp = rebuilt()
+        payload = bp.to_bytes()
+        if len(payload) > budget:
+            raise ValueError(
+                f"urlseen partition {pid} filter payload "
+                f"{len(payload) / 2**20:.0f} MiB (at {bp.n_items} items) "
+                f"exceeds the {budget / 2**20:.0f} MiB per-partition "
+                f"budget — the partition count is undersized for this "
+                f"crawl; bootstrap with n_bloom_partitions >= "
+                f"derive_n_partitions(expected_urls) (or set "
+                f"CrawlConfig.expected_urls).  Failing before commit so "
+                f"the round re-executes cleanly after resizing."
+            )
         return pd.DataFrame(
             {
                 "partition_id": [pid],
-                "bloom_bytes": [bp.to_bytes()],
+                "bloom_bytes": [payload],
                 "n_items": [int(bp.n_items)],
                 "round": [round_no],
             }

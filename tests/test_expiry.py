@@ -155,3 +155,78 @@ def test_lenient_cuckoo_eviction_skips_bloom_payloads(spark):
             kind="cuckoo", strict=True,
         ).count()
     state.unpersist()
+
+
+def test_expiry_scan_runs_only_when_prunable_set_changes(
+        spark, pages, ref_crawl, tmp_path_factory, monkeypatch):
+    """The old-shard candidate scan (max-by over every old results
+    shard) is cached in the ``expiry_cand`` table keyed by its
+    (pruned round set, cutoff) signature: a multi-round expiry crawl
+    scans ONCE, later rounds re-read the cached candidates; a LATER
+    resume whose cutoff admits new shards scans again."""
+    from crawlkit import storage
+
+    wh_dir = copy_warehouse(ref_crawl[2], tmp_path_factory, "wh-expcache")
+    scan_reads: list[tuple] = []
+    orig_read = storage.Warehouse.read
+
+    def spy_read(self, spark_, table, schema_, rounds=None):
+        # the candidate scan is the ONLY explicit-round results read
+        if table == "results" and rounds is not None:
+            scan_reads.append(tuple(rounds))
+        return orig_read(self, spark_, table, schema_, rounds=rounds)
+
+    monkeypatch.setattr(storage.Warehouse, "read", spy_read)
+    mets = run_crawl(spark, _cfg(wh_dir, "bloom", now=T1, expire_days=3),
+                     pages, max_rounds=6)
+    # multi-round crawl (expire+requeue, then refetch), ONE shard scan
+    assert len(mets) >= 2
+    assert len(scan_reads) == 1
+    assert [m.get("expiry_scanned") for m in mets][0] == 1
+    assert all(m.get("expiry_scanned") == 0 for m in mets[1:])
+    # a later resume: the refetched shards have aged past the new
+    # cutoff → prunable set changed → fresh scan (exactly one more)
+    t2 = T1 + timedelta(days=10)
+    mets2 = run_crawl(spark, _cfg(wh_dir, "bloom", now=t2, expire_days=3),
+                      pages, max_rounds=6)
+    assert mets2 and mets2[0].get("expiry_scanned") == 1
+    assert len(scan_reads) == 2
+    # cache-correctness: the second cycle recrawls exactly the docs
+    # the first cycle fetched (everything from T1 is stale at t2)
+    t1_set = {
+        r["url_canon"]
+        for r in _results(spark, wh_dir)
+        .where(F.col("fetched_ts") == F.lit(T1)).select("url_canon")
+        .collect()
+    }
+    t2_set = {
+        r["url_canon"]
+        for r in _results(spark, wh_dir)
+        .where(F.col("fetched_ts") == F.lit(t2)).select("url_canon")
+        .collect()
+    }
+    assert t1_set and t2_set == t1_set
+
+
+def test_mixed_kind_eviction_surfaces_skipped_partitions(
+        spark, pages, ref_crawl, cuckoo_crawl, tmp_path_factory):
+    """Lenient cuckoo eviction over bloom payloads is semantically safe
+    but partially inert — the round metrics must say HOW inert
+    (expired_skipped_partitions), per VERDICT r4.  A pure-cuckoo
+    warehouse evicts everything in place → 0 skipped."""
+    # bloom-built state resumed under seen_filter='cuckoo': every
+    # touched partition holds a bloom payload → all skipped
+    wh_dir = copy_warehouse(ref_crawl[2], tmp_path_factory, "wh-mixkind")
+    mets = run_crawl(spark, _cfg(wh_dir, "cuckoo", now=T1, expire_days=3),
+                     pages, max_rounds=6)
+    skips = [m["expired_skipped_partitions"] for m in mets
+             if "expired_skipped_partitions" in m]
+    assert skips and skips[0] > 0
+    # pure cuckoo: in-place deletes, nothing skipped
+    wh_dir2 = copy_warehouse(cuckoo_crawl[2], tmp_path_factory,
+                             "wh-purekind")
+    mets2 = run_crawl(spark, _cfg(wh_dir2, "cuckoo", now=T1, expire_days=3),
+                      pages, max_rounds=6)
+    skips2 = [m["expired_skipped_partitions"] for m in mets2
+              if "expired_skipped_partitions" in m]
+    assert skips2 and skips2[0] == 0

@@ -268,3 +268,34 @@ def test_legacy_dup_frontier_deltas_fetch_once(spark, pages, synth_cfg,
     run_crawl(spark, cfg, pages, max_rounds=1)
     res = wh.read(spark, "results", schema.RESULTS_SCHEMA)
     assert res.where(F.col("url") == url).count() == 1
+
+
+def test_frontier_read_is_pruned_to_one_delta(spark, pages, synth_cfg,
+                                              tmp_warehouse, monkeypatch):
+    """VERDICT r4 item 2: the per-round frontier read must be O(1) in
+    crawl length — queued rows for round r live only in the round-(r-1)
+    delta (write-time invariant), so a long crawl reads ONE delta per
+    round, not every committed delta."""
+    from crawlkit import storage
+    from crawlkit.synth import seeds_df as _seeds
+
+    frontier_reads: list[tuple[int, ...]] = []
+    orig_read = storage.Warehouse.read
+
+    def spy_read(self, spark_, table, schema_, rounds=None):
+        if table == "frontier":
+            assert rounds is not None, "frontier read must be pruned"
+            frontier_reads.append(tuple(rounds))
+        return orig_read(self, spark_, table, schema_, rounds=rounds)
+
+    monkeypatch.setattr(storage.Warehouse, "read", spy_read)
+    cfg = CrawlConfig(warehouse=tmp_warehouse, **CRAWL_KW)
+    mets = run_crawl(spark, cfg, pages, seeds_df(spark, synth_cfg),
+                     robots_df(spark, synth_cfg), max_rounds=MAX_ROUNDS)
+    assert len(mets) >= 3, "corpus should sustain a multi-round crawl"
+    # in-round reads: round r touches exactly the round-(r-1) delta,
+    # regardless of how many deltas the crawl has committed by then
+    engine_reads = [r for r in frontier_reads if len(r) <= 2]
+    assert engine_reads, frontier_reads
+    for i, rounds in enumerate(engine_reads):
+        assert rounds == (i,), (i, frontier_reads)
