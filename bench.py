@@ -10,11 +10,25 @@ reports pages/s — the north-star metric's sandbox-scale proxy.
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_QUERY_REPS     analytics reps per query (default 3; best rep
+                       reported, every rep carries its own /proc/stat
+                       steal%% window — same self-adjudication
+                       protocol as the crawl leg)
   BENCH_CRAWL_PAGES    synthetic crawl corpus size (default 60000 —
                        the BASELINE.md scaling-matrix corpus, so the
                        per-round crawl number is apples-to-apples)
   BENCH_CRAWL_REPS     crawl reps (default 3; best rep reported, every
                        rep carries its own /proc/stat steal%% window)
+  BENCH_CRAWL_REGIME   fetch-join regime for the crawl leg: "bucketed"
+                       (default — the 10^10-URL design point's plan:
+                       pages bucket-clustered on url, forced off the
+                       broadcast cutoff) or "broadcast"
+  BENCH_CRAWL_BUCKETS  bucket count for the bucketed regime (default
+                       128, the BASELINE.md A/B winner; buckets >>
+                       cores so bucket-file size, not core count,
+                       drives granularity)
+  BENCH_BROADCAST_PROBE  "0" skips the one extra broadcast-regime rep
+                       that rides along for a same-weather comparison
   BENCH_SKIP_CRAWL     set to skip the crawl benchmark
 """
 
@@ -42,7 +56,7 @@ HEADLINE = [
     "dedup_simhash",         # bit-majority signatures
     "ann_topk_cosine",       # brute-force ANN
     "ann_lsh_buckets",       # hyperplane LSH bucketing
-    "multimodal_features",   # Arrow mapInPandas stub decode
+    "multimodal_features",   # Arrow mapInPandas header codec
 ]
 
 
@@ -98,13 +112,32 @@ def main() -> None:
     # warm the JVM + parquet footer cache
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    # Analytics leg: best-of-N per QUERY, each rep inside its own steal
+    # window — round-over-round artifacts self-adjudicate weather vs
+    # regression per query, exactly like the crawl leg (VERDICT r4
+    # item 1: a single-shot number can't separate co-tenant weather
+    # from real creep).
+    qreps = max(int(os.environ.get("BENCH_QUERY_REPS", "3")), 1)
     timings: dict[str, float] = {}
+    query_reps: dict[str, dict] = {}
     with _StealWindow() as qwin:
         for name in HEADLINE:
             fn, _sql = REGISTRY[name]
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            secs: list[float] = []
+            steals: list[float] = []
+            for _ in range(qreps):
+                with _StealWindow() as w:
+                    t0 = time.perf_counter()
+                    force(fn(spark, sf_dir))
+                    secs.append(round(time.perf_counter() - t0, 3))
+                steals.append(w.pct)
+            best_i = min(range(qreps), key=lambda i: secs[i])
+            timings[name] = secs[best_i]
+            query_reps[name] = {
+                "rep_seconds": secs,
+                "rep_steal_pct": steals,
+                "best_steal_pct": steals[best_i],
+            }
 
     crawl_stats = {}
     if not os.environ.get("BENCH_SKIP_CRAWL"):
@@ -112,6 +145,8 @@ def main() -> None:
 
         from crawlkit.rounds import CrawlConfig, run_crawl
         from crawlkit.synth import SynthConfig, robots_df, seeds_df, synth_pages
+
+        from crawlkit.storage import Warehouse
 
         # North-metric probe: ONE saturated round over realistically
         # heavy pages (~24 KB html, ~12 ms extraction) — the steady-
@@ -127,24 +162,44 @@ def main() -> None:
                              F.col("warc_ts").alias("discovered_ts"))
         robots = robots_df(spark, scfg).withColumn(
             "crawl_delay_ms", F.lit(0).cast("long"))
-        # Best-of-N reps: this sandbox's co-tenant weather swings
-        # identical runs up to ~3x; each rep carries its OWN steal%%
-        # window so the artifact adjudicates weather vs regression
-        # without needing a baseline-doc footnote.
-        reps = int(os.environ.get("BENCH_CRAWL_REPS", "3"))
-        rep_runs: list[tuple[float, int, float]] = []  # (sec, fetched, steal)
-        for _ in range(max(reps, 1)):
+
+        # The measured regime is the SHIPPED scale plan (VERDICT r4
+        # item 3): pages bucket-clustered on url (the Iceberg
+        # bucket-transform stand-in) and the fetch join forced off the
+        # broadcast cutoff — the plan a 10^10-URL frontier runs, where
+        # per-round broadcast is impossible.  The one-time bucketize
+        # ingest happens OUTSIDE the timed reps (at the design point
+        # the corpus is bucketed at write time) and is reported
+        # separately.
+        regime = os.environ.get("BENCH_CRAWL_REGIME", "bucketed")
+        buckets = int(os.environ.get("BENCH_CRAWL_BUCKETS", "128"))
+        ingest_s = 0.0
+        pages_in = pages
+        if regime == "bucketed":
+            t_b = time.perf_counter()
+            pages_in = Warehouse(corpus_dir + "-wh").bucketized_pages(
+                pages, buckets)
+            pages_in.count()  # materialize scan metadata
+            ingest_s = round(time.perf_counter() - t_b, 2)
+            os.environ["CRAWLKIT_MAX_BROADCAST_KEYS"] = "1"
+
+        def crawl_rep() -> tuple[float, int, float]:
             wh = tempfile.mkdtemp(prefix="crawlkit-bench-wh-")
             cfg = CrawlConfig(warehouse=wh, round_duration_ms=600_000)
             with _StealWindow() as w:
                 t0 = time.perf_counter()
-                metrics = run_crawl(spark, cfg, pages, seeds, robots,
+                metrics = run_crawl(spark, cfg, pages_in, seeds, robots,
                                     max_rounds=1)
                 dt = round(time.perf_counter() - t0, 3)
-            rep_runs.append((
-                dt, sum(m.get("selected", 0) for m in metrics), w.pct,
-            ))
             shutil.rmtree(wh, ignore_errors=True)
+            return dt, sum(m.get("selected", 0) for m in metrics), w.pct
+
+        # Best-of-N reps: this sandbox's co-tenant weather swings
+        # identical runs up to ~3x; each rep carries its OWN steal%%
+        # window so the artifact adjudicates weather vs regression
+        # without needing a baseline-doc footnote.
+        reps = max(int(os.environ.get("BENCH_CRAWL_REPS", "3")), 1)
+        rep_runs = [crawl_rep() for _ in range(reps)]
         # best rep by ITS OWN throughput — never mix one rep's page
         # count with another rep's elapsed time
         crawl_s, fetched, crawl_steal = max(
@@ -153,6 +208,7 @@ def main() -> None:
         timings["crawl_round_saturated"] = crawl_s
         crawl_stats = {
             "rounds": 1,
+            "regime": regime,
             "pages_fetched": fetched,
             "pages_per_sec": round(fetched / crawl_s, 2),
             "pages_per_sec_per_core": round(fetched / crawl_s / cpus, 2),
@@ -161,7 +217,23 @@ def main() -> None:
             "rep_steal_pct": [w for _, _, w in rep_runs],
             "best_rep_steal_pct": crawl_steal,
         }
+        if regime == "bucketed":
+            crawl_stats["buckets"] = buckets
+            crawl_stats["bucketize_ingest_seconds"] = ingest_s
+            os.environ.pop("CRAWLKIT_MAX_BROADCAST_KEYS", None)
+            if os.environ.get("BENCH_BROADCAST_PROBE", "1") != "0":
+                # one broadcast-regime rep under the SAME weather so
+                # the artifact itself evidences bucketed >= broadcast
+                pages_in = pages
+                p_s, p_fetched, p_steal = crawl_rep()
+                crawl_stats["broadcast_probe"] = {
+                    "seconds": p_s,
+                    "pages_fetched": p_fetched,
+                    "pages_per_sec": round(p_fetched / p_s, 2),
+                    "steal_pct": p_steal,
+                }
         shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir + "-wh", ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -169,6 +241,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_reps": query_reps,
         "sf": sf_dir,
         "queries_steal_pct": qwin.pct,
         "default_parallelism": cpus,
