@@ -677,6 +677,14 @@ def run_crawl(
         pinned = wh.latest_extra("n_bloom_partitions")
         if pinned is not None:
             cfg.n_bloom_partitions = int(pinned[1])
+    if not cfg.pages_buckets:
+        # The on-disk bucket layout is authoritative, like the
+        # seen-filter partition count: a resume that omits
+        # pages_buckets adopts the pinned spec instead of silently
+        # degrading every fetch join to the shuffled plan.
+        pinned_b = wh.pages_bucket_count()
+        if pinned_b:
+            cfg.pages_buckets = pinned_b
     if cfg.pages_buckets:
         # One-time (idempotent, resume-safe) bucket-clustered ingest;
         # every round's fetch join then co-partitions with the scan.

@@ -308,6 +308,19 @@ class Warehouse:
         return total
 
     # -- bucketed pages (J8 large-regime fetch join) ----------------------
+    def pages_bucket_count(self) -> int | None:
+        """Bucket count pinned by a previous :meth:`bucketized_pages`
+        ingest into this warehouse, or None if pages were never
+        bucketized here.  Like the seen-filter partition count, the
+        on-disk layout is authoritative on resume: a caller that
+        forgets ``pages_buckets`` must not silently degrade every
+        fetch join to the shuffled plan when the co-partitioned ingest
+        already exists."""
+        spec_path = self.root / "pages_bucketed" / "_bucket_spec.json"
+        if not spec_path.exists():
+            return None
+        return int(json.loads(spec_path.read_text())["buckets"])
+
     def bucketized_pages(self, pages: DataFrame, buckets: int) -> DataFrame:
         """Bucket-cluster the pages corpus on its join key (``url``)
         ONCE, so every round's fetch join co-partitions with the scan

@@ -112,6 +112,31 @@ def test_crawl_equivalent_in_forced_large_regime(
     assert big_rows == ref_rows and len(big_rows) > 50
 
 
+def test_resume_adopts_pinned_bucket_spec(
+    spark, pages, synth_cfg, tmp_path_factory
+):
+    """A resume that omits ``pages_buckets`` must adopt the bucket
+    count pinned on disk by the original ingest (like the seen-filter
+    partition count) instead of silently degrading every fetch join
+    to the shuffled plan."""
+    d = str(tmp_path_factory.mktemp("wh-adopt"))
+    cfg = CrawlConfig(warehouse=d, n_bloom_partitions=16,
+                      max_depth=MAX_DEPTH, salt=4, pages_buckets=BUCKETS)
+    first = run_crawl(spark, cfg, pages, seeds_df(spark, synth_cfg),
+                      robots_df(spark, synth_cfg), max_rounds=1)
+    assert first and Warehouse(d).pages_bucket_count() == BUCKETS
+
+    r1 = Warehouse(d).last_committed_round()
+    cfg2 = CrawlConfig(warehouse=d, n_bloom_partitions=16,
+                       max_depth=MAX_DEPTH, salt=4)  # buckets forgotten
+    resumed = run_crawl(spark, cfg2, pages, max_rounds=1)
+    assert cfg2.pages_buckets == BUCKETS
+    assert resumed and Warehouse(d).last_committed_round() == r1 + 1
+
+    fresh = Warehouse(str(tmp_path_factory.mktemp("wh-fresh")))
+    assert fresh.pages_bucket_count() is None
+
+
 def test_bucketized_pages_reregisters_on_resume(spark, pages, bucket_wh):
     """A new session loses the in-memory catalog entry; the spec file
     next to the data re-registers the same bucketed table (simulated
