@@ -51,6 +51,15 @@ UID_TYPES = frozenset(
 _ID_ALPHABET = "useandom-26T198340PX75pxJACKVERYMINDBUSHWOLF_GQZbfghjklqvwyzrict"
 _ID_LEN = 6
 
+# 12-bit → 2-char lookup: an id is six 6-bit alphabet picks from the
+# digest's low 36 bits; pairing picks into one 4096-entry table turns
+# the per-id inner loop (6 shifts + 6 indexes + join) into 3 lookups
+# and one concat.  Table order matches the pick order (low 6 bits
+# first), so ids are byte-identical to the loop form (golden-pinned).
+_ID_PAIRS = tuple(
+    _ID_ALPHABET[i & 63] + _ID_ALPHABET[(i >> 6) & 63] for i in range(4096)
+)
+
 _WS_RE = re.compile(r"[ \t\r\n\f]+")
 
 _INLINE_MARKS = {
@@ -109,19 +118,36 @@ class DeterministicIds:
         self.counter = 0
         self.ids: set[str] = set()
 
-    def _gen(self) -> str:
+    def _gen(self, _blake2b=hashlib.blake2b, _pairs=_ID_PAIRS) -> str:
         # byte-identical to blake2b(f"{seed}\x00{counter}".encode()):
-        # ASCII decimal counter, preencoded seed prefix
-        digest = hashlib.blake2b(
+        # ASCII decimal counter, preencoded seed prefix; the paired
+        # 12-bit table reproduces the original low-bits-first 6-bit
+        # alphabet walk exactly (see _ID_PAIRS)
+        digest = _blake2b(
             self._prefix + b"%d" % self.counter, digest_size=8
         ).digest()
         n = int.from_bytes(digest, "big")
-        chars = []
-        for _ in range(_ID_LEN):
-            chars.append(_ID_ALPHABET[n & 63])
-            n >>= 6
         self.counter += 1
-        return "".join(chars)
+        return _pairs[n & 4095] + _pairs[(n >> 12) & 4095] + _pairs[(n >> 24) & 4095]
+
+    def fresh_id(self, _blake2b=hashlib.blake2b, _pairs=_ID_PAIRS) -> str:
+        """``amend_id("")``: generate, retry on collision, register.
+        Inlined ``_gen`` body (same bytes) — this runs once per block
+        node in the extraction hot path."""
+        ids = self.ids
+        prefix = self._prefix
+        c = self.counter
+        while True:
+            n = int.from_bytes(
+                _blake2b(prefix + b"%d" % c, digest_size=8).digest(), "big"
+            )
+            c += 1
+            nid = _pairs[n & 4095] + _pairs[(n >> 12) & 4095] + _pairs[(n >> 24) & 4095]
+            if nid not in ids:
+                break
+        self.counter = c
+        ids.add(nid)
+        return nid
 
     def amend_id(self, current: object) -> str:
         """Reference ``amendId`` semantics (``src/tiptap.ts:122-132``):
@@ -214,10 +240,12 @@ class _DocBuilder:
                 el,
             )]
         if tag == "p":
-            node = _make_paragraph(self._inline_children(el))
-            if node is None:
-                node = {"type": "paragraph", "content": []}
-            return [_with_align(node, el)]
+            # _inline_children already closed the run (_trim_inline ==
+            # _finish_inline(strip_leading=True)); re-finishing via
+            # _make_paragraph would be an idempotent second edge scan
+            # per paragraph — the kernel's hottest redundant call
+            content = self._inline_children(el)
+            return [_with_align({"type": "paragraph", "content": content}, el)]
         if tag == "pre":
             return [
                 {
@@ -520,6 +548,17 @@ def _finish_inline(buf: list[dict], strip_leading: bool = True) -> list[dict]:
     # reference keeps as real text.
     if not buf:
         return buf
+    # fast path — both edges already clean (the dominant shape: one
+    # merged text node with no edge spaces, or non-text edge nodes,
+    # which the trim rules never touch).  Text nodes are never empty
+    # (_emit_text guards), so the [-1]/[0] indexes are safe.  Returns
+    # a fresh list to keep the contract below (callers may clear()).
+    last = buf[-1]
+    if last.get("type") != "text" or not last["text"].endswith(" "):
+        first = buf[0]
+        if not strip_leading or first.get("type") != "text" \
+                or not first["text"].startswith(" "):
+            return buf[:]
     end = len(buf)
     while end and buf[end - 1].get("type") == "text" \
             and buf[end - 1]["text"].strip(" ") == "":
@@ -660,10 +699,12 @@ def amend_node(node: dict | None, ids: DeterministicIds) -> dict | None:
       ``rel='noopener noreferrer'``, ``target='_blank'``;
     * recurse into content and filter invalid children.
     """
-    if not node or node.get("type") == "invalid":
+    if not node:
+        return None
+    ntype = node.get("type")
+    if ntype == "invalid":
         return None
 
-    ntype = node.get("type")
     if ntype == "image" and not (node.get("attrs") or {}).get("src"):
         node["type"] = "invalid"
         return node
@@ -674,12 +715,15 @@ def amend_node(node: dict | None, ids: DeterministicIds) -> dict | None:
             node["type"] = "invalid"
             return node
 
-    if ntype in UID_TYPES and node.get("attrs") is None:
-        node["attrs"] = {"id": ids.amend_id("")}
-    elif node.get("attrs") is not None:
-        node["attrs"] = dict(node["attrs"])
+    attrs = node.get("attrs")
+    if attrs is None:
         if ntype in UID_TYPES:
-            node["attrs"]["id"] = ids.amend_id(node["attrs"].get("id"))
+            node["attrs"] = {"id": ids.fresh_id()}
+    else:
+        attrs = dict(attrs)
+        node["attrs"] = attrs
+        if ntype in UID_TYPES:
+            attrs["id"] = ids.amend_id(attrs.get("id"))
 
     marks = node.get("marks")
     if marks is not None:
@@ -691,9 +735,15 @@ def amend_node(node: dict | None, ids: DeterministicIds) -> dict | None:
 
     content = node.get("content")
     if content is not None:
+        drop = False
         for child in content:
             amend_node(child, ids)
-        node["content"] = [c for c in content if c.get("type") != "invalid"]
+            if child.get("type") == "invalid":
+                drop = True
+        if drop:
+            node["content"] = [
+                c for c in content if c.get("type") != "invalid"
+            ]
 
     return node
 
