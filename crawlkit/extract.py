@@ -62,10 +62,21 @@ class Extracted:
     # engine stores only the length (the body lives in the pages
     # table), so the page string itself is never materialized
     page_len: int = 0
-    canonical_html: str = ""  # X8 re-render of the amended tree
     content_cbor: bytes = b""  # X9
     text: str = ""  # pinned parity column
     links: list[str] = field(default_factory=list)
+    # amended doc tree, kept for lazy X8 rendering (below); the crawl
+    # pipeline stores content_cbor + text + content_html only, so
+    # rendering canonical HTML per scraped page was pure hot-path
+    # waste — the reference renders HTML on the READ path
+    # (src/ssr.ts serves stored docs), not at scrape time
+    doc: dict | None = field(default=None, repr=False)
+
+    @property
+    def canonical_html(self) -> str:
+        """X8 re-render of the amended tree (reference
+        ``src/tiptap.ts`` generateHTML read path), computed on demand."""
+        return doc_to_html(self.doc) if self.doc is not None else ""
 
 
 def _harvest_meta(root: HElement) -> tuple[dict[str, str], str | None]:
@@ -154,8 +165,7 @@ def extract_document(html: str, url: str, src: str | None = None) -> Extracted:
     )
     amend_node(doc, DeterministicIds(url))
 
-    # X8/X9 + pinned text
-    canonical_html = doc_to_html(doc)
+    # X9 + pinned text (X8 canonical html renders lazily from .doc)
     content_cbor = cborlite.dumps(doc)
     text = doc_to_text(doc)
 
@@ -167,10 +177,10 @@ def extract_document(html: str, url: str, src: str | None = None) -> Extracted:
         meta=meta,
         content_html=content_html,
         page_len=page_len,
-        canonical_html=canonical_html,
         content_cbor=content_cbor,
         text=text,
         links=_harvest_links(root),
+        doc=doc,
     )
 
 
