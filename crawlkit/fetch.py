@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from . import canon
 from .extract import MAX_CELL_SIZE, extract_document
+from .htmlkit import utf8_len
 from .schema import EXTRACTED_SCHEMA
 
 
@@ -76,7 +77,9 @@ def _extract_partition(
                 if ex.status == "ok":
                     if (
                         len(ex.content_cbor) >= MAX_CELL_SIZE
-                        or len(ex.content_html.encode("utf-8")) >= MAX_CELL_SIZE
+                        # utf8_len counts bytes without materializing a
+                        # full encoded copy of the region html per page
+                        or utf8_len(ex.content_html) >= MAX_CELL_SIZE
                     ):
                         # reference save() rejects >1MiB cells (model.ts:142-147)
                         rec["status"] = "too_large"

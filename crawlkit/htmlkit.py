@@ -615,10 +615,13 @@ def inner_html(el: HElement) -> str:
     return "".join(out)
 
 
-def _utf8_len(s: str) -> int:
+def utf8_len(s: str) -> int:
     """UTF-8 byte length without materializing the bytes for the
     overwhelmingly-common ASCII case."""
     return len(s) if s.isascii() else len(s.encode("utf-8"))
+
+
+_utf8_len = utf8_len  # internal alias (serializer call sites)
 
 
 def _escaped_utf8_len(s: str, quote: bool = False) -> int:
