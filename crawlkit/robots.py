@@ -153,7 +153,9 @@ def normalize_octets(s: str) -> str:
     * malformed ``%`` (no two hex digits) → literal.
 
     The result is pure ASCII.  Used for MATCHING only; rule precedence
-    counts the raw rule's UTF-8 octets (see :func:`_matcher`)."""
+    uses robots.cc's escape-expanded metric instead (see
+    :func:`precedence_octets` — the two differ when a rule spells
+    unreserved octets as escapes)."""
     data = s.encode("utf-8")
     out: list[str] = []
     i, n = 0, len(data)
