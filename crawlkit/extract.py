@@ -58,9 +58,11 @@ class Extracted:
     title: str = ""
     meta: dict[str, str] = field(default_factory=dict)
     content_html: str = ""  # X5 region inner HTML (doc.html)
-    # utf-8 byte length of the full serialized page ($.html()) — the
-    # engine stores only the length (the body lives in the pages
-    # table), so the page string itself is never materialized
+    # utf-8 byte length of the full serialized page, trimmed —
+    # Buffer.byteLength(page.trim()) exactly as save() guards it
+    # (setPage trims, model.ts:77-79,142-147).  The engine stores only
+    # the length (the body lives in the pages table), so the page
+    # string itself is never materialized
     page_len: int = 0
     content_cbor: bytes = b""  # X9
     text: str = ""  # pinned parity column
@@ -140,9 +142,9 @@ def extract_document(html: str, url: str, src: str | None = None) -> Extracted:
 
     title = selection_text(title_els)
     # length-only page serialization (before script strip, like the
-    # reference's $.html() capture) — no throwaway multi-hundred-KB
-    # string per page
-    page_len = outer_html_utf8_len(root)
+    # reference's $.html() capture; trimmed like setPage,
+    # model.ts:77-79) — no throwaway multi-hundred-KB string per page
+    page_len = outer_html_utf8_len(root, trim=True)
 
     # X2/X3 meta harvest
     meta, og_title = _harvest_meta(root)

@@ -9,10 +9,11 @@ byte-identical extraction is what's verified.  Extraction runs in ONE
 kernel (``extract.py``) computes title/meta/region-html/CBOR/text/links.
 
 Shuffle hygiene: only the frontier's narrow key columns are joined into
-the wide pages scan; the MB-scale ``html`` bytes never pass through more
-than the single fetch join, and the stage output drops them (results
-carry the region html + page_len only, honoring the reference's 1 MiB
-cell guard, ``src/db/model.ts:7,142-147``).
+the wide pages scan; the MB-scale raw ``html`` bytes never pass through
+more than the single fetch join, and the stage output drops them
+(results carry the canonical re-rendered html + page_len only,
+mirroring the reference's stored doc row and its 1 MiB page/content
+guard, ``src/api.ts:96-102`` + ``src/db/model.ts:73-79,142-147``).
 """
 
 from __future__ import annotations
@@ -26,7 +27,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from . import canon
 from .extract import MAX_CELL_SIZE, extract_document
-from .htmlkit import utf8_len
 from .schema import EXTRACTED_SCHEMA
 
 
@@ -76,19 +76,25 @@ def _extract_partition(
                 )
                 if ex.status == "ok":
                     if (
-                        len(ex.content_cbor) >= MAX_CELL_SIZE
-                        # utf8_len counts bytes without materializing a
-                        # full encoded copy of the region html per page
-                        or utf8_len(ex.content_html) >= MAX_CELL_SIZE
+                        ex.page_len > MAX_CELL_SIZE
+                        or len(ex.content_cbor) > MAX_CELL_SIZE
                     ):
-                        # reference save() rejects >1MiB cells (model.ts:142-147)
+                        # save() guards the trimmed PAGE bytes and the
+                        # CBOR content bytes, strictly greater-than
+                        # (model.ts:142-147) — not the region html,
+                        # which the reference never stores
                         rec["status"] = "too_large"
                     else:
                         rec.update(
                             title=ex.title,
                             meta=ex.meta,
                             content=ex.content_cbor,
-                            html=ex.content_html,
+                            # the stored html column is the CANONICAL
+                            # re-render of the amended tree, trimmed —
+                            # setHTML(toHTML(obj)), api.ts:96-102 +
+                            # model.ts:73-75; the X5 region html is
+                            # transient parse input (crawler.ts:83)
+                            html=ex.canonical_html.strip(),
                             text=ex.text,
                         )
             out.append(rec)

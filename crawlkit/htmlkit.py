@@ -635,18 +635,58 @@ def _escaped_utf8_len(s: str, quote: bool = False) -> int:
     return n
 
 
-def outer_html_utf8_len(el: HElement) -> int:
+def _edge_ws_utf8_len(nodes: list[HNode]) -> int:
+    """UTF-8 bytes that ``str.strip()`` would remove from the
+    serialization of ``nodes``.  Whitespace can only lead/trail the
+    serialization via top-level TEXT nodes — an element's serialization
+    starts with ``<`` and ends with ``>`` — and a text node's
+    leading/trailing whitespace is never escape-expanded, so counting
+    the raw whitespace bytes equals counting them post-escape."""
+    lead = 0
+    all_ws = True
+    for node in nodes:
+        if not isinstance(node, HText):
+            all_ws = False
+            break
+        stripped = node.data.lstrip()
+        if stripped:
+            lead += _utf8_len(node.data) - _utf8_len(stripped)
+            all_ws = False
+            break
+        lead += _utf8_len(node.data)
+    if all_ws:
+        # the whole serialization is whitespace: strip() yields ""
+        return lead
+    trail = 0
+    for node in reversed(nodes):
+        if not isinstance(node, HText):
+            break
+        stripped = node.data.rstrip()
+        if stripped:
+            trail += _utf8_len(node.data) - _utf8_len(stripped)
+            break
+        trail += _utf8_len(node.data)
+    return lead + trail
+
+
+def outer_html_utf8_len(el: HElement, trim: bool = False) -> int:
     """UTF-8 byte length of ``outer_html(el)`` WITHOUT building the
     string.  The kernel stores only the serialized-page length
     (reference caps cells at 1 MiB, model.ts:7); serializing a ~300 KB
     DOM into a throwaway string per page was pure memory-bandwidth
     waste — the scaling bottleneck on a shared bus.  Round 3: lengths
     come from C-speed ``str.count`` arithmetic (no escaped-string or
-    bytes allocation per node either)."""
-    total = 0
-    stack: list[HNode] = (
-        list(reversed(el.children)) if el.tag == "#root" else [el]
+    bytes allocation per node either).
+
+    ``trim=True`` counts ``outer_html(el).strip()`` instead — the
+    reference trims the page before storing/guarding it
+    (``setPage``, model.ts:77-79) — still without building the string:
+    edge whitespace is only reachable through top-level text nodes."""
+    nodes: list[HNode] = (
+        list(el.children) if el.tag == "#root" else [el]
     )
+    total = 0
+    stack: list[HNode] = list(reversed(nodes))
     while stack:
         node = stack.pop()
         if isinstance(node, HText):
@@ -665,6 +705,8 @@ def outer_html_utf8_len(el: HElement) -> int:
             continue
         total += tag_bytes + 3  # '</tag>'
         stack.extend(reversed(e.children))
+    if trim:
+        total -= _edge_ws_utf8_len(nodes)
     return total
 
 
