@@ -35,7 +35,10 @@ def main() -> None:
         total = 0
         for url, html in pages:
             doc = extract_document(html, url)
-            total += len(doc.text)
+            # the storage path renders + trims the canonical html per
+            # stored row (fetch._extract_partition) — pay it here so
+            # the profile matches the shipped hot path
+            total += len(doc.text) + len(doc.canonical_html.strip())
         return total
 
     run()  # warm
