@@ -45,6 +45,7 @@ from .htmlkit import (
     remove_all,
     selection_text,
     unique_parents,
+    utf16_len,
 )
 
 MAX_CELL_SIZE = 1024 * 1024 - 1  # reference src/db/model.ts:7
@@ -104,10 +105,12 @@ def _harvest_meta(root: HElement) -> tuple[dict[str, str], str | None]:
 def _climb_content_region(title_els: list[HElement], title: str) -> list[HElement]:
     """X5 (reference src/crawler.ts:74-82): parent of the title
     selection, climbing up to two more levels while region text is
-    shorter than twice the title."""
+    shorter than twice the title.  Lengths are JS string lengths
+    (UTF-16 code units), so astral chars count 2 on both sides."""
     region = unique_parents(title_els)
+    title_units2 = utf16_len(title) * 2
     for _ in range(2):
-        if len(selection_text(region)) >= len(title) * 2:
+        if utf16_len(selection_text(region)) >= title_units2:
             break
         parents = unique_parents(region)
         if not parents:
@@ -170,6 +173,14 @@ def extract_document(html: str, url: str, src: str | None = None) -> Extracted:
     # X9 + pinned text (X8 canonical html renders lazily from .doc)
     content_cbor = cborlite.dumps(doc)
     text = doc_to_text(doc)
+
+    # setTitle at persist (model.ts:56-61): interior newlines become
+    # spaces, then trim.  Applied AFTER the region climb, which uses
+    # the crawler-stage title verbatim (setTitle runs at save time in
+    # the reference, crawler.ts:49-52 vs api.ts:98).
+    if "\n" in title:
+        title = title.replace("\n", " ")
+    title = title.strip()
 
     return Extracted(
         url=url,

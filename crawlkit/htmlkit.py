@@ -621,6 +621,14 @@ def utf8_len(s: str) -> int:
     return len(s) if s.isascii() else len(s.encode("utf-8"))
 
 
+def utf16_len(s: str) -> int:
+    """JS ``String.length``: UTF-16 code units — astral-plane chars
+    (emoji etc.) count 2.  The reference's length comparisons
+    (e.g. the X5 region climb, crawler.ts:75-80) are JS string
+    lengths, so parity code must count code units, not code points."""
+    return len(s) if s.isascii() else len(s.encode("utf-16-le")) // 2
+
+
 _utf8_len = utf8_len  # internal alias (serializer call sites)
 
 

@@ -96,6 +96,43 @@ def test_size_guard_fires_on_each_cell_alone(monkeypatch):
     assert _run_one(HTML)["status"] == "too_large"
 
 
+def test_title_newlines_become_spaces_like_settitle():
+    # getCheerioText keeps interior newlines (per-element trim only);
+    # setTitle at persist replaces them with spaces (model.ts:56-61)
+    html = (
+        "<html><body><h1>Foo<span>\nBar</span></h1>"
+        "<p>padding so the region stays put xxxxxxxx</p></body></html>"
+    )
+    d = extract_document(html, URL)
+    assert d.title == "Foo Bar"
+
+
+def test_region_climb_counts_utf16_units():
+    # title '😀😀' is 2 code points but 4 UTF-16 units; JS compares
+    # region_text.length < title.length * 2 in code units, so the
+    # region text must reach 8 UNITS (not 4 code points) to stop the
+    # climb.  Region text '😀😀abcd' = 8 units stops it; 4 emoji alone
+    # under a wrapper (8 points, 8 units) also stops; but a 7-unit
+    # region must climb.
+    from crawlkit.htmlkit import utf16_len
+
+    assert utf16_len("\U0001f600\U0001f600") == 4
+    stop = (
+        "<html><body><div><h1>\U0001f600\U0001f600</h1>abcd</div>"
+        "<p>outer</p></body></html>"
+    )
+    climb = (
+        "<html><body><div><h1>\U0001f600\U0001f600</h1>abc</div>"
+        "<p>outer</p></body></html>"
+    )
+    d_stop = extract_document(stop, URL)
+    d_climb = extract_document(climb, URL)
+    # stopping keeps the region at the title's parent div (no 'outer');
+    # climbing reaches <body> and pulls 'outer' in
+    assert "outer" not in d_stop.content_html
+    assert "outer" in d_climb.content_html
+
+
 @pytest.mark.parametrize(
     "html,expect",
     [
